@@ -1,0 +1,19 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Must set the env vars before jax initializes its backends, so this lives at
+conftest import time (pytest imports conftest before test modules).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The env var alone does not always win over discovered platform plugins
+# (e.g. the axon TPU tunnel) — pin explicitly before any backend is touched.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)

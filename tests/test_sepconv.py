@@ -1,0 +1,140 @@
+"""Unit tests for the adaptive separable convolution op.
+
+Test strategy mirrors SURVEY.md §4: Pallas/MXU implementations vs. the direct
+reference, plus finite-difference gradient checks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vfi_tpu.ops import sepconv_direct, sepconv_mxu, sepconv_pallas, pad_for_sepconv
+from vfi_tpu.ops.sepconv import _skew_rows
+
+
+def _numpy_sepconv(x, v, h):
+    """Brain-dead O(ks^2) numpy loop — the spec."""
+    B, H, W, ks = v.shape
+    C = x.shape[-1]
+    out = np.zeros((B, H, W, C), np.float64)
+    for b in range(B):
+        for y in range(H):
+            for xx in range(W):
+                patch = x[b, y : y + ks, xx : xx + ks, :]  # [ks, ks, C]
+                out[b, y, xx] = np.einsum("ijc,i,j->c", patch, v[b, y, xx], h[b, y, xx])
+    return out
+
+
+def _rand(key, shape):
+    return jax.random.normal(key, shape, jnp.float32)
+
+
+@pytest.mark.parametrize("ks,H,W,C", [(5, 8, 8, 1), (7, 12, 10, 3)])
+def test_direct_matches_numpy(ks, H, W, C):
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    B = 2
+    x = _rand(k[0], (B, H + ks - 1, W + ks - 1, C))
+    v = _rand(k[1], (B, H, W, ks))
+    h = _rand(k[2], (B, H, W, ks))
+    want = _numpy_sepconv(np.asarray(x), np.asarray(v), np.asarray(h))
+    got = sepconv_direct(x, v, h)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_skew_rows():
+    m = jnp.arange(12, dtype=jnp.float32).reshape(4, 3)  # W=4, ks=3
+    s = _skew_rows(m)
+    assert s.shape == (4, 6)
+    for x in range(4):
+        for u in range(6):
+            want = m[x, u - x] if 0 <= u - x < 3 else 0.0
+            assert s[x, u] == want, (x, u)
+
+
+@pytest.mark.parametrize("ks,H,W,C", [(5, 8, 8, 1), (51, 16, 16, 1), (7, 12, 10, 3)])
+def test_mxu_matches_direct(ks, H, W, C):
+    k = jax.random.split(jax.random.PRNGKey(1), 3)
+    B = 2
+    x = _rand(k[0], (B, H + ks - 1, W + ks - 1, C))
+    v = _rand(k[1], (B, H, W, ks))
+    h = _rand(k[2], (B, H, W, ks))
+    want = sepconv_direct(x, v, h)
+    got = sepconv_mxu(x, v, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("ks,H,W,C", [(5, 8, 8, 1), (5, 8, 8, 3)])
+def test_pallas_interpret_matches_direct(ks, H, W, C):
+    # On CPU the Pallas TPU kernel runs via the interpreter.
+    from jax.experimental.pallas import tpu as pltpu
+
+    k = jax.random.split(jax.random.PRNGKey(2), 3)
+    B = 2
+    x = _rand(k[0], (B, H + ks - 1, W + ks - 1, C))
+    v = _rand(k[1], (B, H, W, ks))
+    h = _rand(k[2], (B, H, W, ks))
+    want = sepconv_direct(x, v, h)
+    with pltpu.force_tpu_interpret_mode():
+        got = sepconv_pallas(x, v, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_mxu_gradients_finite_difference():
+    ks, H, W, C, B = 3, 6, 6, 1, 1
+    k = jax.random.split(jax.random.PRNGKey(3), 3)
+    x = _rand(k[0], (B, H + ks - 1, W + ks - 1, C))
+    v = _rand(k[1], (B, H, W, ks))
+    h = _rand(k[2], (B, H, W, ks))
+
+    def f(x, v, h):
+        return jnp.sum(jnp.sin(sepconv_mxu(x, v, h)))
+
+    g = jax.grad(f, argnums=(0, 1, 2))(x, v, h)
+    eps = 1e-3
+    rng = np.random.RandomState(0)
+    for argi, arr in enumerate([x, v, h]):
+        arr_np = np.asarray(arr)
+        for _ in range(5):
+            idx = tuple(rng.randint(s) for s in arr_np.shape)
+            ap, am = arr_np.copy(), arr_np.copy()
+            ap[idx] += eps
+            am[idx] -= eps
+            args_p = [x, v, h]
+            args_m = [x, v, h]
+            args_p[argi] = jnp.asarray(ap)
+            args_m[argi] = jnp.asarray(am)
+            fd = (f(*args_p) - f(*args_m)) / (2 * eps)
+            np.testing.assert_allclose(np.asarray(g[argi])[idx], fd, rtol=2e-2, atol=2e-3)
+
+
+def test_pallas_custom_vjp_matches_mxu_grad():
+    from jax.experimental.pallas import tpu as pltpu
+
+    ks, H, W, C, B = 5, 8, 8, 2, 1
+    k = jax.random.split(jax.random.PRNGKey(4), 4)
+    x = _rand(k[0], (B, H + ks - 1, W + ks - 1, C))
+    v = _rand(k[1], (B, H, W, ks))
+    h = _rand(k[2], (B, H, W, ks))
+    ct = _rand(k[3], (B, H, W, C))
+
+    def loss_p(x, v, h):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(sepconv_pallas(x, v, h) * ct)
+
+    def loss_m(x, v, h):
+        return jnp.sum(sepconv_mxu(x, v, h) * ct)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, v, h)
+    gm = jax.grad(loss_m, argnums=(0, 1, 2))(x, v, h)
+    for a, b in zip(gp, gm):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_pad_for_sepconv():
+    x = jnp.arange(16, dtype=jnp.float32).reshape(1, 4, 4, 1)
+    p = pad_for_sepconv(x, 5)
+    assert p.shape == (1, 8, 8, 1)
+    # replication on the top-left corner
+    assert p[0, 0, 0, 0] == x[0, 0, 0, 0]
+    assert p[0, -1, -1, 0] == x[0, -1, -1, 0]

@@ -1,0 +1,73 @@
+"""Image-space primitives shared across models (NHWC, values in [-1, 1]).
+
+Behavioral reference: src/util/util.py:22-41 (value transforms, grayscale) and
+src/models/mcnet/mcnet.py:240-256 (fixed unpooling).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# The reference decodes videos as BGR and converts to gray with BGR-ordered
+# luma weights (src/util/util.py:30-41).  We keep channel order BGR in the
+# data pipeline so the same weights apply: gray = .114*B + .587*G + .2989*R.
+_BGR_LUMA = (0.1140, 0.5870, 0.2989)
+
+
+def inverse_transform(images: jax.Array) -> jax.Array:
+    """[-1, 1] -> [0, 1]."""
+    return (images + 1.0) / 2.0
+
+
+def fore_transform(images: jax.Array) -> jax.Array:
+    """[0, 1] -> [-1, 1]."""
+    return images * 2.0 - 1.0
+
+
+def bgr_to_gray(images: jax.Array) -> jax.Array:
+    """Luma conversion over the trailing channel axis; keeps a 1-channel dim.
+
+    Works for any leading shape: [..., H, W, 3] -> [..., H, W, 1].
+    """
+    w = jnp.asarray(_BGR_LUMA, images.dtype)
+    return jnp.einsum("...c,c->...", images, w)[..., None]
+
+
+def to_gray_frames(frames: jax.Array) -> jax.Array:
+    """Map [-1,1] frames to [0,1] grayscale, as MC-Net's difference-frame input
+    expects (src/models/mcnet/mcnet.py:336-337)."""
+    f01 = inverse_transform(frames)
+    if frames.shape[-1] > 1:
+        return bgr_to_gray(f01)
+    return f01
+
+
+def fixed_unpooling(x: jax.Array) -> jax.Array:
+    """Zero-stuffing 2x spatial upsample: out[2y, 2x] = in[y, x], zeros elsewhere.
+
+    NHWC equivalent of the reference's grid-spreading unpool
+    (src/models/mcnet/mcnet.py:240-256).
+    """
+    B, H, W, C = x.shape
+    z = jnp.zeros_like(x)
+    # interleave along W: [B,H,W,2,C] -> [B,H,2W,C]
+    xw = jnp.stack([x, z], axis=3).reshape(B, H, 2 * W, C)
+    zw = jnp.zeros_like(xw)
+    # interleave along H
+    return jnp.stack([xw, zw], axis=2).reshape(B, 2 * H, 2 * W, C)
+
+
+def upsample2x_bilinear(x: jax.Array) -> jax.Array:
+    """Bilinear 2x spatial upsample (half-pixel centers)."""
+    B, H, W, C = x.shape
+    return jax.image.resize(x, (B, 2 * H, 2 * W, C), method="bilinear")
+
+
+def time_weights(T: int, dtype=jnp.float32) -> jax.Array:
+    """The reference's per-middle-frame blend weights: linspace(0,1,T+2)[1:-1].
+
+    w[t] is the weight of the *following*-derived stream at middle step t
+    (src/models/tw_p_f/tw_p_f.py:25, tai.py:90).
+    """
+    return jnp.linspace(0.0, 1.0, T + 2, dtype=dtype)[1:-1]
