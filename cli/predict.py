@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Batch inference + PNG dump — the reference predict.py CLI, TPU-native.
+
+Writes per-clip folders under --qual_result_root with the reference layout
+(predict.py:59-120): gt_preceding_<t>.png, gt_middle_<t>.png,
+pred_middle_<t>.png, gt_following_<t>.png (+ pred_middle_forward/backward and
+interp_net_outputs_1/2 with --intermediate_preds).  Padding added for the
+network is cropped off before saving (predict.py:69-95).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+from PIL import Image
+
+from vfi_tpu.data.datasets import ContiguousVideoClipDataset, DisjointVideoClipDataset, batch_iterator
+from vfi_tpu.models.registry import create_model
+from vfi_tpu.train.environments import create_eval_environment
+from vfi_tpu.utils import checkpoint as ckpt
+from vfi_tpu.utils.config import TrainConfig, build_test_parser, listopt, parse_args
+
+
+def to_uint8(frames: np.ndarray) -> np.ndarray:
+    """[-1,1] float BGR -> uint8 RGB (matching the reference's PNG encoding)."""
+    x = np.clip((frames + 1.0) / 2.0, 0.0, 1.0) * 255.0
+    x = np.round(x).astype(np.uint8)
+    if x.shape[-1] == 3:
+        x = x[..., ::-1]  # BGR -> RGB for PNG
+    return x
+
+
+def save_video_frames(frames_u8: np.ndarray, dest: str, prefix: str, start_t: int, H: int, W: int):
+    """Write [T, Hp, Wp, C] frames as PNGs, cropping off padding (predict.py:103-120)."""
+    os.makedirs(dest, exist_ok=True)
+    for i, frame in enumerate(frames_u8):
+        img = frame[:H, :W]
+        if img.shape[-1] == 1:
+            img = img[..., 0]
+        Image.fromarray(img).save(os.path.join(dest, f"{prefix}_{start_t + i:04d}.png"))
+
+
+def main(argv=None):
+    opt = parse_args(build_test_parser(), argv, allow_unknown=True)
+    listopt(opt)
+
+    if opt.disjoint_clips:
+        ds = DisjointVideoClipDataset(
+            opt.c_dim, opt.test_video_list_path, opt.K, opt.F, opt.image_size, opt.padding_size, opt.data_root
+        )
+    else:
+        ds = ContiguousVideoClipDataset(
+            opt.c_dim, opt.test_video_list_path, opt.K + opt.T + opt.F, False, False,
+            opt.image_size, False, opt.padding_size, opt.data_root,
+        )
+    print(f"# testing videos = {len(ds)}")
+
+    model = create_model(opt.model_key)
+    env = create_eval_environment(model, TrainConfig(K=opt.K, T=opt.T, F=opt.F))
+
+    # Host-side classical models (optical flow) bypass jax entirely.
+    host_model = getattr(model, "host_forward", None)
+
+    g_params = None
+    if host_model is None:
+        sample = ds[0]["targets"][None]
+        if opt.disjoint_clips:
+            p, f = sample[:, : opt.K], sample[:, opt.K :]
+        else:
+            p, f = sample[:, : opt.K], sample[:, opt.K + opt.T :]
+        variables = model.init(jax.random.PRNGKey(0), opt.T, p, f)
+        g_params = variables.get("params", {})
+        if env.needs_snapshot:
+            expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
+            from vfi_tpu.train.environments import TrainState
+
+            template = TrainState(step=np.zeros((), np.int32), g_params=g_params, g_opt=None)
+            # Snapshots store the full training state; we only need g_params.
+            state, _ = ckpt.load_snapshot(expr_dir, opt.snapshot_file_name, template)
+            g_params = state.g_params
+
+    K, T, F = opt.K, opt.T, opt.F
+    H, W = opt.image_size
+    for batch in batch_iterator(ds, opt.batch_size, False, False):
+        targets = batch["targets"]
+        preceding = targets[:, :K]
+        following = targets[:, -F:]
+
+        if host_model is not None:
+            out = host_model(T, preceding, following)
+        else:
+            out = env.forward_test(g_params, T, preceding, following)
+            out = jax.device_get(out)
+
+        for b, label in enumerate(batch["clip_label"]):
+            dest = os.path.join(opt.qual_result_root, label)
+            save_video_frames(to_uint8(preceding[b]), dest, "gt_preceding", 0, H, W)
+            save_video_frames(to_uint8(np.asarray(out["pred"][b])), dest, "pred_middle", K, H, W)
+            if not opt.disjoint_clips:
+                save_video_frames(to_uint8(targets[b, K : K + T]), dest, "gt_middle", K, H, W)
+            save_video_frames(to_uint8(following[b]), dest, "gt_following", K + T, H, W)
+            if opt.intermediate_preds:
+                for key, prefix in (
+                    ("pred_forward", "pred_middle_forward"),
+                    ("pred_backward", "pred_middle_backward"),
+                    ("interp_net_outputs_1", "interp_net_outputs_1"),
+                    ("interp_net_outputs_2", "interp_net_outputs_2"),
+                ):
+                    if key in out:
+                        save_video_frames(to_uint8(np.asarray(out[key][b])), dest, prefix, K, H, W)
+    print("predictions written to", opt.qual_result_root)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Training driver — the reference train.py CLI, TPU-native.
+
+Usage matches the reference (train.py:19-212), with @argfile composition:
+
+    python cli/train.py @exp_args/default_args/KTH/train.txt @exp_args/extra_args/KTH/bi-TAI.txt
+
+Differences from the reference, by design:
+  * The train step is one jitted program per static (K, T, F) shape, sharded
+    over the device mesh ("data" axis); no .cuda() anywhere.
+  * Validation metrics (PSNR/SSIM/L2) are computed batched on device instead
+    of per-frame skimage loops.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+from vfi_tpu.data.datasets import ContiguousVideoClipDataset, batch_iterator
+from vfi_tpu.models.registry import create_model
+from vfi_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+from vfi_tpu.train.environments import create_training_environment
+from vfi_tpu.utils import checkpoint as ckpt
+from vfi_tpu.utils.config import TrainConfig, build_train_parser, listopt, parse_args
+from vfi_tpu.utils.visuals import draw_err_plot, visual_grid
+
+
+def make_writer(log_dir):
+    try:
+        from tensorboardX import SummaryWriter
+
+        return SummaryWriter(log_dir=log_dir)
+    except ImportError:  # pragma: no cover
+        return None
+
+
+def compute_errors(env, state, loader, K, T, F):
+    """Validation sweep: batched on-device PSNR/SSIM/L2 curves
+    (replaces train.py:237-287)."""
+    psnrs, ssims, l2s = [], [], []
+    for batch in loader:
+        m = env.eval_metrics(state.g_params, K, T, F, batch["targets"])
+        psnrs.append(np.asarray(m["psnr"]))
+        ssims.append(np.asarray(m["ssim"]))
+        l2s.append(np.asarray(m["l2"]))
+    return np.concatenate(psnrs), np.concatenate(ssims), np.concatenate(l2s)
+
+
+def main(argv=None):
+    opt = parse_args(build_train_parser(), argv)
+    expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
+    os.makedirs(expr_dir, exist_ok=True)
+    tb_dir = os.path.join(opt.tensorboard_dir, opt.name)
+    os.makedirs(tb_dir, exist_ok=True)
+
+    listopt(opt)
+    with open(os.path.join(expr_dir, "train_opt.txt"), "w") as f:
+        listopt(opt, f)
+    writer = make_writer(tb_dir)
+
+    mesh = make_mesh(opt.mesh_shape)
+    print(f"devices: {jax.device_count()} mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
+    seq_len = opt.K + opt.T + opt.F
+    train_ds = ContiguousVideoClipDataset(
+        opt.c_dim, opt.train_video_list_path, seq_len, not opt.no_backwards, not opt.no_flip,
+        opt.image_size, True, opt.padding_size, opt.data_root,
+    )
+    train_iter = batch_iterator(train_ds, opt.batch_size, not opt.serial_batches, True,
+                                seed=opt.seed, loop=True)
+    print(f"# training videos = {len(train_ds)}")
+
+    def val_loader(path, t_mid, k, f):
+        if path is None:
+            return None
+        ds = ContiguousVideoClipDataset(opt.c_dim, path, k + t_mid + f, False, False,
+                                        opt.image_size, False, opt.padding_size, opt.data_root)
+        return ds
+
+    val_sets = {
+        "val": (val_loader(opt.val_video_list_path, opt.T, opt.K, opt.F), opt.K, opt.T, opt.F),
+        "val_alt_T": (val_loader(opt.val_video_list_alt_T_path, opt.alt_T, opt.K, opt.F), opt.K, opt.alt_T, opt.F),
+        "val_alt_K_F": (val_loader(opt.val_video_list_alt_K_F_path, opt.T, opt.alt_K, opt.alt_F),
+                        opt.alt_K, opt.T, opt.alt_F),
+    }
+
+    model = create_model(opt.model_key)
+    cfg = TrainConfig.from_opt(opt)
+    env = create_training_environment(model, cfg)
+
+    sample = next(train_iter)
+    state = env.init_state(jax.random.PRNGKey(opt.seed), sample["targets"], opt.K, opt.T, opt.F)
+    n_params = sum(x.size for x in jax.tree.leaves(state.g_params))
+    print(f"# generator params = {n_params/1e6:.2f}M")
+
+    total_updates = 0
+    best_sum_psnr, best_sum_ssim = 0.0, 0.0
+    if ckpt.has_snapshot(expr_dir, "model_latest.ckpt"):
+        print("Loading latest snapshot...")
+        state, counters = ckpt.load_snapshot(expr_dir, "model_latest.ckpt", state)
+        total_updates = int(counters["updates"])
+        best_sum_psnr = float(counters["sum_avg_psnr_err"])
+        best_sum_ssim = float(counters["sum_avg_ssim_err"])
+    state = replicate_state(mesh, state)
+
+    rng = np.random.RandomState(opt.seed)
+    t_start = time.time()
+    while total_updates < opt.max_iter:
+        batch = next(train_iter)
+        K, T, F = env.sample_ktf(rng, opt.sample_KTF)
+        targets = shard_batch(mesh, {"targets": batch["targets"][:, : K + T + F]})["targets"]
+
+        state, errors = env.train_step(state, K, T, F, targets)
+        total_updates += 1
+
+        if total_updates % opt.print_freq == 0:
+            errors = jax.device_get(errors)
+            dt = (time.time() - t_start) / opt.print_freq
+            t_start = time.time()
+            msg = " ".join(f"{k}: {float(v):.4f}" for k, v in sorted(errors.items()))
+            print(f"iter {total_updates} ({dt*1000:.0f} ms/it) {msg}")
+            if writer:
+                for k, v in errors.items():
+                    writer.add_scalar(f"loss/{k}", float(v), total_updates)
+                writer.add_scalar("time_per_item", dt, total_updates)
+                out = env.forward_test(state.g_params, T, targets[:, :K], targets[:, K + T :])
+                vis = {
+                    "pred_vis_seq": np.concatenate(
+                        [np.asarray(targets[:, :K]), np.asarray(out["pred"]), np.asarray(targets[:, K + T :])], axis=1
+                    ),
+                    "target_vis_seq": np.asarray(targets),
+                }
+                grid = visual_grid(vis, K, T)
+                writer.add_image("train_vis", grid.transpose(2, 0, 1), total_updates)
+
+        if total_updates % opt.save_latest_freq == 0:
+            counters = {
+                "updates": total_updates,
+                "sum_avg_psnr_err": best_sum_psnr,
+                "sum_avg_ssim_err": best_sum_ssim,
+            }
+            ckpt.save_snapshot(expr_dir, "model_latest.ckpt", state, counters)
+            ckpt.save_snapshot(expr_dir, f"model_{total_updates:08d}.ckpt", state, counters)
+
+        if total_updates % opt.validate_freq == 0:
+            for tag, (ds, k, t_mid, f) in val_sets.items():
+                if ds is None:
+                    continue
+                loader = batch_iterator(ds, opt.batch_size, False, False)
+                psnr_c, ssim_c, _ = compute_errors(env, state, loader, k, t_mid, f)
+                if writer:
+                    writer.add_scalar(f"{tag}/avg_psnr", float(psnr_c.mean()), total_updates)
+                    writer.add_scalar(f"{tag}/avg_ssim", float(ssim_c.mean()), total_updates)
+                    writer.add_image(
+                        f"{tag}/psnr_curve",
+                        draw_err_plot(psnr_c, "PSNR").transpose(2, 0, 1),
+                        total_updates,
+                    )
+                print(f"[{tag}] iter {total_updates}: psnr {psnr_c.mean():.3f} ssim {ssim_c.mean():.4f}")
+                if tag == "val":
+                    sum_psnr = float(psnr_c.mean(axis=0).sum())
+                    sum_ssim = float(ssim_c.mean(axis=0).sum())
+                    if sum_ssim > best_sum_ssim:
+                        best_sum_psnr, best_sum_ssim = sum_psnr, sum_ssim
+                        ckpt.save_snapshot(
+                            expr_dir,
+                            "model_best.ckpt",
+                            state,
+                            {"updates": total_updates, "sum_avg_psnr_err": sum_psnr, "sum_avg_ssim_err": sum_ssim},
+                        )
+                        print(f"new best (sum ssim {sum_ssim:.4f}) -> model_best.ckpt")
+
+    print("training done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Shared flax layer helpers: init conventions, pooling, ConvLSTM.
+
+Init parity: the reference xavier-normal-initializes every conv and zeroes
+biases (src/util/util.py:193-202); we bake that into the conv constructor so
+models don't need a separate init pass.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+xavier_conv = nn.initializers.xavier_normal()
+
+
+def Conv(features: int, kernel: int, *, strides: int = 1, name: str | None = None) -> nn.Conv:
+    """3x3/5x5/7x7 'same' conv with xavier-normal init and zero bias."""
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(strides, strides),
+        padding="SAME",
+        kernel_init=xavier_conv,
+        bias_init=nn.initializers.zeros_init(),
+        name=name,
+    )
+
+
+def max_pool2(x: jax.Array) -> jax.Array:
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+def avg_pool2(x: jax.Array) -> jax.Array:
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class ConvBlock(nn.Module):
+    """`num_layers` x (conv -> relu) with constant output width.
+
+    Mirrors the reference's create_basic_conv_block (src/models/tai/tai.py:244-263).
+    """
+
+    features: int
+    num_layers: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            x = nn.relu(Conv(self.features, self.kernel, name=f"conv{i}")(x))
+        return x
+
+
+class ConvLSTMCell(nn.Module):
+    """Convolutional LSTM cell (Shi et al. 2015) with a forget-gate bias.
+
+    State is carried as a single array ``[B, H, W, 2*features]`` holding
+    (c, h) on the channel axis, matching the reference's packed-state layout
+    (src/models/mcnet/mcnet.py:259-294) — convenient for scan carries.
+    """
+
+    features: int
+    kernel: int = 3
+    forget_bias: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, state: jax.Array) -> tuple[jax.Array, jax.Array]:
+        c, h = jnp.split(state, 2, axis=-1)
+        gates = Conv(4 * self.features, self.kernel, name="gates")(jnp.concatenate([x, h], axis=-1))
+        i, j, f, o = jnp.split(gates, 4, axis=-1)
+        new_c = c * nn.sigmoid(f + self.forget_bias) + nn.sigmoid(i) * jnp.tanh(j)
+        new_h = jnp.tanh(new_c) * nn.sigmoid(o)
+        return new_h, jnp.concatenate([new_c, new_h], axis=-1)
+
+    @staticmethod
+    def initial_state(batch: int, height: int, width: int, features: int, dtype=jnp.float32) -> jax.Array:
+        return jnp.zeros((batch, height, width, 2 * features), dtype)

@@ -1,0 +1,174 @@
+"""MC-Net (Villegas et al., "Decomposing Motion and Content for Natural Video
+Sequence Prediction") — the shared autoregressive video predictor.
+
+Behavioral reference: src/models/mcnet/mcnet.py.  Re-designed NHWC/flax:
+  * encoders/decoder are plain compact modules;
+  * the K-step warm-up and the T-step autoregressive rollout are expressed so
+    the whole thing jits to one XLA program (T, K static);
+  * the per-step "next motion encoding" is computed at the *end* of each step
+    so the rollout body is branch-free.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.image import fixed_unpooling, to_gray_frames
+from .layers import Conv, ConvLSTMCell, max_pool2
+
+
+class MotionEnc(nn.Module):
+    """Difference-frame encoder; returns encoding + 3 residual activations.
+
+    Reference: mcnet.py:14-60 (5/5/7 kernels, maxpool between stages).
+    """
+
+    gf_dim: int
+
+    @nn.compact
+    def __call__(self, diff):
+        r1 = nn.relu(Conv(self.gf_dim, 5, name="dyn1")(diff))
+        r2 = nn.relu(Conv(self.gf_dim * 2, 5, name="dyn2")(max_pool2(r1)))
+        r3 = nn.relu(Conv(self.gf_dim * 4, 7, name="dyn3")(max_pool2(r2)))
+        return max_pool2(r3), (r1, r2, r3)
+
+
+class ContentEnc(nn.Module):
+    """Raw-frame encoder (VGG-ish 2/2/3-layer stages); reference mcnet.py:63-119."""
+
+    gf_dim: int
+
+    @nn.compact
+    def __call__(self, frame):
+        g = self.gf_dim
+        x = nn.relu(Conv(g, 3, name="c1a")(frame))
+        r1 = nn.relu(Conv(g, 3, name="c1b")(x))
+        x = nn.relu(Conv(g * 2, 3, name="c2a")(max_pool2(r1)))
+        r2 = nn.relu(Conv(g * 2, 3, name="c2b")(x))
+        x = nn.relu(Conv(g * 4, 3, name="c3a")(max_pool2(r2)))
+        x = nn.relu(Conv(g * 4, 3, name="c3b")(x))
+        r3 = nn.relu(Conv(g * 4, 3, name="c3c")(x))
+        return max_pool2(r3), (r1, r2, r3)
+
+
+class CombLayers(nn.Module):
+    """Fuse motion+content encodings (reference mcnet.py:122-153)."""
+
+    gf_dim: int
+
+    @nn.compact
+    def __call__(self, h_dyn, h_cont):
+        g = self.gf_dim
+        x = jnp.concatenate([h_dyn, h_cont], axis=-1)
+        x = nn.relu(Conv(g * 4, 3, name="comb1")(x))
+        x = nn.relu(Conv(g * 2, 3, name="comb2")(x))
+        return nn.relu(Conv(g * 4, 3, name="comb3")(x))
+
+
+class Residual(nn.Module):
+    """Pairwise residual fusion: conv-relu-conv on the channel-concat
+    (reference mcnet.py:156-185)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, a, b):
+        x = jnp.concatenate([a, b], axis=-1)
+        x = nn.relu(Conv(self.out_dim, 3, name="res1")(x))
+        return Conv(self.out_dim, 3, name="res2")(x)
+
+
+class DecCnn(nn.Module):
+    """3-stage decoder with zero-stuffing unpooling and residual skips
+    (reference mcnet.py:188-238).  Tanh output in [-1, 1]."""
+
+    c_dim: int
+    gf_dim: int
+
+    @nn.compact
+    def __call__(self, comb, res1, res2, res3):
+        g = self.gf_dim
+        x = fixed_unpooling(comb) + res3
+        x = nn.relu(Conv(g * 4, 3, name="d3a")(x))
+        x = nn.relu(Conv(g * 4, 3, name="d3b")(x))
+        x = nn.relu(Conv(g * 2, 3, name="d3c")(x))
+        x = fixed_unpooling(x) + res2
+        x = nn.relu(Conv(g * 2, 3, name="d2a")(x))
+        x = nn.relu(Conv(g, 3, name="d2b")(x))
+        x = fixed_unpooling(x) + res1
+        x = nn.relu(Conv(g, 3, name="d1a")(x))
+        return jnp.tanh(Conv(self.c_dim, 3, name="d1b")(x))
+
+
+class RolloutStep(NamedTuple):
+    """Per-timestep outputs of the MC-Net rollout, stacked over a leading T axis."""
+
+    pred: jax.Array  # [T, B, H, W, C]
+    dyn: jax.Array  # [T, B, H/8, W/8, 4g]
+    cont: jax.Array  # [T, B, H/8, W/8, 4g]
+    res1: jax.Array  # [T, B, H,   W,   g]
+    res2: jax.Array  # [T, B, H/2, W/2, 2g]
+    res3: jax.Array  # [T, B, H/4, W/4, 4g]
+
+
+class MCNet(nn.Module):
+    """The MC-Net predictor: K-1 warm-up steps over difference frames, then a
+    T-step autoregressive rollout re-feeding predicted-frame differences
+    (reference mcnet.py:391-453)."""
+
+    gf_dim: int
+    c_dim: int
+    lstm_kernel: int = 3
+    forget_bias: float = 1.0
+
+    def setup(self):
+        self.motion_enc = MotionEnc(self.gf_dim)
+        self.content_enc = ContentEnc(self.c_dim)
+        self.conv_lstm = ConvLSTMCell(4 * self.gf_dim, self.lstm_kernel, self.forget_bias)
+        self.comb_layers = CombLayers(self.gf_dim)
+        self.residual1 = Residual(self.gf_dim)
+        self.residual2 = Residual(self.gf_dim * 2)
+        self.residual3 = Residual(self.gf_dim * 4)
+        self.dec_cnn = DecCnn(self.c_dim, self.gf_dim)
+
+    def __call__(self, T: int, diff_in: jax.Array, xt: jax.Array) -> RolloutStep:
+        """Run warm-up over all given difference frames, then roll out T steps.
+
+        :param T: number of frames to predict (static)
+        :param diff_in: grayscale difference frames ``[B, K-1, H, W, 1]``
+        :param xt: the content frame (last context frame) ``[B, H, W, C]``
+        """
+        B, Km1, H, W, _ = diff_in.shape
+        state = ConvLSTMCell.initial_state(B, H // 8, W // 8, 4 * self.gf_dim, xt.dtype)
+
+        # Warm-up: the reference runs motion-enc + LSTM over the K-1 observed
+        # difference frames; the last step's (h_dyn, res_m) seed prediction t=0.
+        h_dyn = res_m = None
+        for t in range(Km1):
+            enc_h, res_m = self.motion_enc(diff_in[:, t])
+            h_dyn, state = self.conv_lstm(enc_h, state)
+
+        steps = []
+        for t in range(T):
+            h_cont, res_c = self.content_enc(xt)
+            h_tpl = self.comb_layers(h_dyn, h_cont)
+            r1 = self.residual1(res_m[0], res_c[0])
+            r2 = self.residual2(res_m[1], res_c[1])
+            r3 = self.residual3(res_m[2], res_c[2])
+            x_hat = self.dec_cnn(h_tpl, r1, r2, r3)
+            steps.append(RolloutStep(x_hat, h_dyn, h_cont, r1, r2, r3))
+
+            if t + 1 < T:
+                # Next motion input: grayscale difference between the newly
+                # predicted frame and the previous content frame
+                # (reference mcnet.py:438-449).
+                new_diff = to_gray_frames(x_hat) - to_gray_frames(xt)
+                enc_h, res_m = self.motion_enc(new_diff)
+                h_dyn, state = self.conv_lstm(enc_h, state)
+                xt = x_hat
+
+        return RolloutStep(*(jnp.stack(f) for f in zip(*steps)))

@@ -1,0 +1,301 @@
+"""Training / evaluation environments as pure, jittable step functions.
+
+The reference's environment hierarchy (src/environments/environments.py) is a
+stateful OO design around torch autograd; here each environment is a thin
+*static* config object whose ``train_step`` / ``eval_step`` are pure functions
+``(state, batch) -> (state, metrics)`` compiled once per static (K, T, F)
+shape and shardable with pjit over a data mesh.
+
+Environment dispatch parity (environments.py:24-52):
+  * TAI / TWI / bi-SA / bi-TWA  -> TAIEnvironment (L2+GDL+GAN + intermediate
+    forward/backward reconstruction losses, environments.py:415-485)
+  * MC-Net                      -> L2GDLDiscEnvironment (environments.py:262-397)
+  * SCT family                  -> SCTEnvironment (teacher-forcing schedule,
+    environments.py:488-528)
+  * SloMo                       -> SloMoEnvironment (L1 + perceptual + warping
+    + smoothness, step-decay LR, environments.py:531-615)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..nn.discriminator import SNDiscriminator
+from ..ops.image import inverse_transform
+from ..ops.metrics import psnr, quantize_uint8, ssim
+from .losses import bce_with_logits, disc_window_labels, gdl_loss, l1_loss, l2_loss
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    g_params: Any
+    g_opt: Any
+    d_params: Any = None
+    d_sn: Any = None
+    d_opt: Any = None
+    rng: Optional[jax.Array] = None
+
+
+def split_batch(targets: jax.Array, K: int, T: int, F: int):
+    """targets [B, K+T+F, H, W, C] -> (preceding, middle, following).
+
+    Mirrors the slicing in train.py:111-115.
+    """
+    return targets[:, :K], targets[:, K : K + T], targets[:, K + T : K + T + F]
+
+
+class BaseEnvironment:
+    """Shared: generator init/eval; subclasses add losses + optimizers."""
+
+    needs_snapshot = True  # False for parameter-free models (OF, TW_P_F)
+
+    def __init__(self, model, cfg):
+        self.model = model
+        self.cfg = cfg
+
+    # -- init ---------------------------------------------------------------
+    def init_state(self, rng: jax.Array, sample_targets: np.ndarray, K: int, T: int, F: int) -> TrainState:
+        p, _, f = split_batch(jnp.asarray(sample_targets), K, T, F)
+        g_rng, d_rng, s_rng = jax.random.split(rng, 3)
+        g_vars = self.model.init(g_rng, T, p, f)
+        g_params = g_vars.get("params", {})
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_params,
+            g_opt=self.g_tx().init(g_params),
+            rng=s_rng,
+        )
+        return self._init_extra(state, d_rng, p, f, T)
+
+    def _init_extra(self, state, rng, p, f, T):
+        return state
+
+    def g_tx(self) -> optax.GradientTransformation:
+        return optax.adam(self.cfg.lr, b1=self.cfg.beta1, b2=0.999)
+
+    # -- eval ---------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def forward_test(self, g_params, T: int, preceding, following) -> Dict[str, jax.Array]:
+        return self.model.apply({"params": g_params}, T, preceding, following)
+
+    @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+    def eval_metrics(self, g_params, K: int, T: int, F: int, targets) -> Dict[str, jax.Array]:
+        """Per-(video, timestep) PSNR/SSIM/L2 for a batch — replaces the
+        reference's skimage loops (train.py:268-285) with one on-device pass."""
+        p, m, f = split_batch(targets, K, T, F)
+        pred = self.model.apply({"params": g_params}, T, p, f)["pred"]
+        pred_u8, gt_u8 = quantize_uint8(pred), quantize_uint8(m)
+        return {
+            "psnr": psnr(pred_u8, gt_u8, clamp=100.0),  # [B, T]
+            "ssim": ssim(pred_u8, gt_u8),  # [B, T]
+            "l2": jnp.mean((inverse_transform(pred) - inverse_transform(m)) ** 2, axis=(2, 3, 4)),
+        }
+
+
+class L2GDLDiscEnvironment(BaseEnvironment):
+    """MSE + GDL + sliding-window SN-GAN training (environments.py:262-397)."""
+
+    def _init_extra(self, state, rng, p, f, T):
+        c = self.cfg
+        self.discriminator = SNDiscriminator(window_size=c.disc_window_size, df_dim=c.df_dim, Ip=c.Ip)
+        fake = jnp.concatenate([p, jnp.repeat(jnp.zeros_like(p[:, :1]), T, axis=1), f], axis=1)
+        d_vars = self.discriminator.init(rng, fake)
+        return state.replace(
+            d_params=d_vars["params"],
+            d_sn=d_vars.get("sn", {}),
+            d_opt=self.d_tx().init(d_vars["params"]),
+        )
+
+    def d_tx(self) -> optax.GradientTransformation:
+        return optax.adam(self.cfg.lr, b1=self.cfg.beta1, b2=0.999)
+
+    # -- generator loss ------------------------------------------------------
+    def _recon_terms(self, out, gt_middle) -> Dict[str, jax.Array]:
+        pred01 = inverse_transform(out["pred"])
+        gt01 = inverse_transform(gt_middle)
+        return {"G_Lp": l2_loss(pred01, gt01), "G_gdl": gdl_loss(pred01, gt01)}
+
+    def _extra_recon_terms(self, out, gt_middle) -> Dict[str, jax.Array]:
+        return {}
+
+    def _g_loss(self, g_params, d_params, d_sn, rng, step, K, T, F, targets):
+        p, m, f = split_batch(targets, K, T, F)
+        out = self._g_forward(g_params, rng, step, T, p, m, f)
+        terms = self._recon_terms(out, m)
+        extra = self._extra_recon_terms(out, m)
+
+        fake_video = jnp.concatenate([p, out["pred"], f], axis=1)
+        logits = self.discriminator.apply(
+            {"params": d_params, "sn": d_sn}, fake_video, train=False
+        )
+        terms["G_GAN"] = bce_with_logits(logits, jnp.ones_like(logits))
+
+        c = self.cfg
+        loss = c.alpha * (terms["G_Lp"] + terms["G_gdl"] + sum(extra.values())) + c.beta * terms["G_GAN"]
+        terms.update(extra)
+        terms["G_loss"] = loss
+        return loss, (out, terms)
+
+    def _g_forward(self, g_params, rng, step, T, p, m, f):
+        return self.model.apply({"params": g_params}, T, p, f)
+
+    # -- discriminator loss --------------------------------------------------
+    def _d_loss(self, d_params, d_sn, pred, K, T, F, targets):
+        p, m, f = split_batch(targets, K, T, F)
+        fake_video = jnp.concatenate([p, jax.lax.stop_gradient(pred), f], axis=1)
+        real_video = jnp.concatenate([p, m, f], axis=1)
+
+        logits_fake, mut = self.discriminator.apply(
+            {"params": d_params, "sn": d_sn}, fake_video, train=True, mutable=["sn"]
+        )
+        labels = disc_window_labels(K, T, F, self.cfg.disc_window_size)
+        labels = jnp.broadcast_to(labels[None, :], logits_fake.shape)
+        loss_fake = bce_with_logits(logits_fake, labels)
+
+        logits_real, mut = self.discriminator.apply(
+            {"params": d_params, "sn": mut["sn"]}, real_video, train=True, mutable=["sn"]
+        )
+        loss_real = bce_with_logits(logits_real, jnp.ones_like(logits_real))
+        return loss_fake + loss_real, (mut["sn"], {"D_fake": loss_fake, "D_real": loss_real})
+
+    # -- the fused step ------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4), donate_argnums=(1,))
+    def train_step(self, state: TrainState, K: int, T: int, F: int, targets):
+        """One G update followed by one D update (environments.py:348-355);
+        the D update sees the pre-update generator output (detached), exactly
+        like the reference's single forward per iteration."""
+        rng, step_rng = jax.random.split(state.rng)
+        (loss, (out, terms)), g_grads = jax.value_and_grad(self._g_loss, has_aux=True)(
+            state.g_params, state.d_params, state.d_sn, step_rng, state.step, K, T, F, targets
+        )
+        g_updates, g_opt = self.g_tx().update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        (d_loss, (d_sn, d_terms)), d_grads = jax.value_and_grad(self._d_loss, has_aux=True)(
+            state.d_params, state.d_sn, out["pred"], K, T, F, targets
+        )
+        d_updates, d_opt = self.d_tx().update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        terms.update(d_terms)
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params,
+            g_opt=g_opt,
+            d_params=d_params,
+            d_sn=d_sn,
+            d_opt=d_opt,
+            rng=rng,
+        )
+        return new_state, terms
+
+    def sample_ktf(self, rng: np.random.RandomState, allow_random: bool):
+        c = self.cfg
+        if not allow_random:
+            return c.K, c.T, c.F
+        return (
+            rng.randint(self.min_K, c.K + 1),
+            rng.randint(1, c.T + 1),
+            rng.randint(self.min_F, c.F + 1),
+        )
+
+    min_K = 1
+    min_F = 1
+
+
+class MCNetEnvironment(L2GDLDiscEnvironment):
+    """K >= 2 curriculum sampling (environments.py:400-412)."""
+
+    min_K = 2
+
+
+class TAIEnvironment(L2GDLDiscEnvironment):
+    """Adds intermediate forward/backward reconstruction + GDL losses
+    (environments.py:415-485); K, F >= 2 sampling."""
+
+    min_K = 2
+    min_F = 2
+
+    def _extra_recon_terms(self, out, gt_middle):
+        gt01 = inverse_transform(gt_middle)
+        fwd01 = inverse_transform(out["pred_forward"])
+        bwd01 = inverse_transform(out["pred_backward"])
+        return {
+            "G_Lp_forward": l2_loss(fwd01, gt01),
+            "G_Lp_backward": l2_loss(bwd01, gt01),
+            "G_gdl_forward": gdl_loss(fwd01, gt01),
+            "G_gdl_backward": gdl_loss(bwd01, gt01),
+        }
+
+
+class SCTEnvironment(L2GDLDiscEnvironment):
+    """Sigmoid-scheduled teacher forcing (environments.py:514-528): with
+    probability tf_rate(step) the generator consumes the ground-truth middle
+    frames (forward_train); otherwise it free-runs."""
+
+    def tf_rate(self, step):
+        c = self.cfg
+        sig = jax.nn.sigmoid((step - c.tf_offset) / c.tf_decay)
+        return (c.tf_p_min - c.tf_p_max) * sig + c.tf_p_max
+
+    def _g_forward(self, g_params, rng, step, T, p, m, f):
+        use_tf = jax.random.uniform(rng) < self.tf_rate(step)
+        free = self.model.apply({"params": g_params}, T, p, f)
+        forced = self.model.apply(
+            {"params": g_params}, T, p, f, gt_middle=m, method="forward_train"
+        )
+        return jax.tree.map(lambda a, b: jnp.where(use_tf, a, b), forced, free)
+
+
+def create_training_environment(model, cfg) -> BaseEnvironment:
+    """Dispatch on generator type, mirroring environments.py:24-52."""
+    from ..models.fill_in import (
+        BidirectionalSimpleAverageFillInModel,
+        BidirectionalTimeWeightedAverageFillInModel,
+        MCNetFillInModel,
+        TAIFillInModel,
+    )
+
+    if isinstance(
+        model,
+        (
+            TAIFillInModel,  # covers TWI (subclass)
+            BidirectionalSimpleAverageFillInModel,
+            BidirectionalTimeWeightedAverageFillInModel,
+        ),
+    ):
+        return TAIEnvironment(model, cfg)
+    if isinstance(model, MCNetFillInModel):
+        return MCNetEnvironment(model, cfg)
+    try:
+        from ..models.slomo import SloMoFillInModel
+        from .slomo_env import SloMoEnvironment
+
+        if isinstance(model, SloMoFillInModel):
+            return SloMoEnvironment(model, cfg)
+    except ImportError:
+        pass
+    try:
+        from ..models.sct import BaseSCTFillInModel
+
+        if isinstance(model, BaseSCTFillInModel):
+            return SCTEnvironment(model, cfg)
+    except ImportError:
+        pass
+    raise TypeError(f"no training environment for model type {type(model).__name__}")
+
+
+def create_eval_environment(model, cfg) -> BaseEnvironment:
+    env = BaseEnvironment(model, cfg)
+    from ..models.fill_in import TimeWeightedPFFillInModel
+
+    param_free = isinstance(model, TimeWeightedPFFillInModel) or type(model).__name__ == "OFFillInModel"
+    env.needs_snapshot = not param_free
+    return env

@@ -1,0 +1,52 @@
+"""Checkpointing with the reference's latest/numbered/best layout.
+
+Reference semantics (environments.py:178-219, train.py:137-169):
+  * ``model_latest.ckpt`` + ``model_%08d.ckpt`` every save_latest_freq
+  * ``model_best.ckpt`` on best validation SSIM
+  * snapshots hold generator + optimizer + discriminator (+ its optimizer)
+    + {updates, sum_avg_psnr_err, sum_avg_ssim_err}
+  * auto-resume from model_latest.ckpt at environment creation
+
+Orbax writes each snapshot as a directory; the ``.ckpt`` names are kept so the
+CLI surface matches the reference.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _abs(path: str) -> str:
+    return os.path.abspath(path)
+
+
+def save_snapshot(save_dir: str, name: str, state: Any, counters: dict) -> None:
+    """Save a training-state pytree + scalar counters under ``save_dir/name``."""
+    os.makedirs(save_dir, exist_ok=True)
+    path = _abs(os.path.join(save_dir, name))
+    payload = {
+        "state": jax.device_get(state),
+        "counters": {k: np.asarray(v) for k, v in counters.items()},
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, payload, force=True)
+
+
+def load_snapshot(save_dir: str, name: str, state_template: Any) -> tuple[Any, dict]:
+    """Restore (state, counters); ``state_template`` supplies the structure."""
+    path = _abs(os.path.join(save_dir, name))
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"no snapshot at {path}")
+    ckptr = ocp.PyTreeCheckpointer()
+    template = {"state": jax.device_get(state_template), "counters": None}
+    payload = ckptr.restore(path, item=template)
+    return payload["state"], payload["counters"]
+
+
+def has_snapshot(save_dir: str, name: str) -> bool:
+    return os.path.isdir(os.path.join(save_dir, name))
