@@ -83,14 +83,19 @@ class BaseEnvironment:
     # -- eval ---------------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=(0, 2))
     def forward_test(self, g_params, T: int, preceding, following) -> Dict[str, jax.Array]:
-        return self.model.apply({"params": g_params}, T, preceding, following)
+        # "sample" feeds the randomized-order SCT variants; harmless otherwise.
+        return self.model.apply(
+            {"params": g_params}, T, preceding, following, rngs={"sample": jax.random.PRNGKey(0)}
+        )
 
     @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
     def eval_metrics(self, g_params, K: int, T: int, F: int, targets) -> Dict[str, jax.Array]:
         """Per-(video, timestep) PSNR/SSIM/L2 for a batch — replaces the
         reference's skimage loops (train.py:268-285) with one on-device pass."""
         p, m, f = split_batch(targets, K, T, F)
-        pred = self.model.apply({"params": g_params}, T, p, f)["pred"]
+        pred = self.model.apply(
+            {"params": g_params}, T, p, f, rngs={"sample": jax.random.PRNGKey(0)}
+        )["pred"]
         pred_u8, gt_u8 = quantize_uint8(pred), quantize_uint8(m)
         return {
             "psnr": psnr(pred_u8, gt_u8, clamp=100.0),  # [B, T]
@@ -246,10 +251,14 @@ class SCTEnvironment(L2GDLDiscEnvironment):
         return (c.tf_p_min - c.tf_p_max) * sig + c.tf_p_max
 
     def _g_forward(self, g_params, rng, step, T, p, m, f):
-        use_tf = jax.random.uniform(rng) < self.tf_rate(step)
-        free = self.model.apply({"params": g_params}, T, p, f)
+        tf_rng, sample_rng = jax.random.split(rng)
+        use_tf = jax.random.uniform(tf_rng) < self.tf_rate(step)
+        free = self.model.apply(
+            {"params": g_params}, T, p, f, rngs={"sample": sample_rng}
+        )
         forced = self.model.apply(
-            {"params": g_params}, T, p, f, gt_middle=m, method="forward_train"
+            {"params": g_params}, T, p, f, gt_middle=m, method="forward_train",
+            rngs={"sample": sample_rng},
         )
         return jax.tree.map(lambda a, b: jnp.where(use_tf, a, b), forced, free)
 
