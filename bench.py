@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Headline benchmark: bi-TAI inference throughput on KTH-shaped inputs.
+
+Prints ONE JSON line:
+  {"metric": "bi-TAI KTH128 inference", "value": <frames/sec/chip>,
+   "unit": "frames/sec/chip", "vs_baseline": <speedup vs single-core CPU proxy>}
+
+The BASELINE.json target is >= 50x the *reference's* CPU frames/sec.  The
+PyTorch-0.3/Python-2.7 reference cannot run in this image, so the baseline is
+a conservative proxy: THIS framework's own XLA-compiled bi-TAI on one CPU
+core (an XLA-optimized CPU build is far faster than the reference's Python
+loops + unvectorized THC CPU path, so the reported speedup understates the
+true advantage).  The CPU proxy number is measured once in a subprocess and
+cached in benchmarks/cpu_baseline.json.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, "benchmarks", "cpu_baseline.json")
+
+K = T = F = 5
+H = W = 128
+C = 1
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build(batch):
+    import jax
+    import jax.numpy as jnp
+
+    from vfi_tpu.models.fill_in import TAIFillInModel
+
+    model = TAIFillInModel(gf_dim=64, c_dim=C, feature_size=3, ks=51, num_block=5)
+    rng = jax.random.PRNGKey(0)
+    p = jax.random.uniform(rng, (batch, K, H, W, C), minval=-1.0, maxval=1.0)
+    f = jax.random.uniform(rng, (batch, F, H, W, C), minval=-1.0, maxval=1.0)
+    variables = model.init(rng, T, p, f)
+
+    @jax.jit
+    def fwd(variables, p, f):
+        return model.apply(variables, T, p, f)["pred"]
+
+    return fwd, variables, p, f
+
+
+def measure_fps(batch, iters, warmup=2):
+    import jax
+
+    fwd, variables, p, f = build(batch)
+    out = fwd(variables, p, f)
+    jax.block_until_ready(out)
+    for _ in range(warmup - 1):
+        jax.block_until_ready(fwd(variables, p, f))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, p, f)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return batch * T / dt, dt
+
+
+def cpu_proxy_fps():
+    if os.path.isfile(CACHE):
+        with open(CACHE) as fh:
+            return json.load(fh)["cpu_fps"]
+    log("measuring CPU baseline proxy (one-time)...")
+    code = (
+        "import jax, json; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.path.insert(0, %r);"
+        "from bench import measure_fps; fps, dt = measure_fps(1, 2, warmup=1);"
+        "print(json.dumps({'cpu_fps': fps, 'sec_per_batch1': dt}))" % REPO
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    data = json.loads(line)
+    os.makedirs(os.path.dirname(CACHE), exist_ok=True)
+    with open(CACHE, "w") as fh:
+        json.dump(data, fh)
+    return data["cpu_fps"]
+
+
+def main():
+    sys.path.insert(0, REPO)
+    import jax
+
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    fps, dt = measure_fps(batch, iters)
+    log(f"bi-TAI B={batch}: {dt * 1000:.1f} ms/batch -> {fps:.1f} middle-frames/sec")
+
+    try:
+        cpu_fps = cpu_proxy_fps()
+    except Exception as e:  # noqa: BLE001
+        log(f"cpu proxy failed: {e}")
+        cpu_fps = None
+
+    vs = fps / cpu_fps if cpu_fps else None
+    print(
+        json.dumps(
+            {
+                "metric": "bi-TAI KTH128 inference (K=F=T=5, gray)",
+                "value": round(fps, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

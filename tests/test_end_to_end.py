@@ -1,0 +1,115 @@
+"""CPU-runnable end-to-end slice: predict -> PNG dump -> quant pipeline
+(BASELINE.json config 1, at test scale)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _make_dataset(root, n_clips=2, n_frames=12, hw=32):
+    rng = np.random.RandomState(0)
+    lines = []
+    os.makedirs(root, exist_ok=True)
+    for i in range(n_clips):
+        path = os.path.join(root, f"clip{i}.npy")
+        base = rng.randint(0, 200, (1, hw, hw, 3)).astype(np.float32)
+        drift = rng.randint(-2, 3, (n_frames, 1, 1, 3)).cumsum(0)
+        vid = np.clip(base + drift, 0, 255).astype(np.uint8)
+        np.save(path, vid)
+        lines.append(f"{path} 1-{n_frames}")
+    list_path = os.path.join(root, "videolist.txt")
+    with open(list_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return list_path
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("clips")
+    return _make_dataset(str(root))
+
+
+def _run(args, cwd):
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
+    r = subprocess.run([sys.executable] + args, cwd=cwd, env=env, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    return r
+
+
+def test_predict_quant_summarize_pipeline(dataset, tmp_path):
+    qual = str(tmp_path / "qual")
+    quant = str(tmp_path / "quant")
+    dest = str(tmp_path / "tables")
+
+    _run(
+        [
+            os.path.join(REPO, "cli", "predict.py"),
+            "--K", "2", "--T", "2", "--F", "2", "--image_size", "32",
+            "--c_dim", "1", "--batch_size", "2",
+            "--model_key", "TimeWeightedPFFillInModel",
+            "--test_video_list_path", dataset,
+            "--qual_result_root", qual,
+        ],
+        cwd=REPO,
+    )
+    clips = os.listdir(qual)
+    assert len(clips) == 2
+    frames = sorted(os.listdir(os.path.join(qual, clips[0])))
+    # K gt_preceding + T gt_middle + T pred_middle + F gt_following
+    assert len(frames) == 8
+    assert any(f.startswith("pred_middle_") for f in frames)
+
+    _run(
+        [os.path.join(REPO, "cli", "compute_quant_results.py"), qual, quant, "2", "2"],
+        cwd=REPO,
+    )
+    data = np.load(os.path.join(quant, "results.npz"))
+    assert data["psnr"].shape == (2, 2)
+    assert np.all(data["psnr"] > 5)
+    assert np.all(data["ssim"] <= 1.0)
+
+    _run(
+        [
+            os.path.join(REPO, "cli", "summarize_quant_results.py"), "metric_summary_text_file",
+            "--quant_results_roots", quant, "--labels", "TW_P_F",
+            "--dest_path", dest, "--metric", "psnr",
+        ],
+        cwd=REPO,
+    )
+    table = open(os.path.join(dest, "psnr_perf_summary.txt")).read()
+    assert "TW_P_F" in table and table.startswith("+")
+
+
+def test_table_renderer_matches_prettytable_golden():
+    """Byte-for-byte check against a block from the reference's golden tables
+    (quant_tables_orig/kth_baselines_m=5_psnr.txt)."""
+    from vfi_tpu.eval.tables import render_table
+
+    rows = [
+        ["TW_P_F", "29.25", "0.053"],
+        ["Newson et al.", "31.20", "0.034"],
+        ["MCnet", "32.58", "0.032"],
+        ["Super SloMo", "31.93", "0.046"],
+        ["bi-TAI (ours)", "36.11", "0.031"],
+    ]
+    got = render_table(["Model", "Mean", "StdErr"], rows)
+    want = "\n".join(
+        [
+            "+---------------+-------+--------+",
+            "|     Model     |  Mean | StdErr |",
+            "+---------------+-------+--------+",
+            "|     TW_P_F    | 29.25 | 0.053  |",
+            "| Newson et al. | 31.20 | 0.034  |",
+            "|     MCnet     | 32.58 | 0.032  |",
+            "|  Super SloMo  | 31.93 | 0.046  |",
+            "| bi-TAI (ours) | 36.11 | 0.031  |",
+            "+---------------+-------+--------+",
+        ]
+    )
+    assert got == want

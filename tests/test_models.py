@@ -1,0 +1,124 @@
+"""Shape/behavior golden tests per model family with fixed PRNG keys
+(SURVEY.md §4 test-pyramid item b)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vfi_tpu.models.fill_in import (
+    BidirectionalSimpleAverageFillInModel,
+    BidirectionalTimeWeightedAverageFillInModel,
+    MCNetFillInModel,
+    TAIFillInModel,
+    TimeWeightedPFFillInModel,
+    TWIFillInModel,
+)
+
+B, K, T, F, H, W = 2, 3, 2, 3, 32, 32
+
+
+def _data(c_dim, seed=0):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    p = jax.random.uniform(k1, (B, K, H, W, c_dim), minval=-1, maxval=1)
+    f = jax.random.uniform(k2, (B, F, H, W, c_dim), minval=-1, maxval=1)
+    return p, f
+
+
+def test_tw_p_f_exact_values():
+    """TW_P_F is closed-form: check against the reference formula
+    (tw_p_f.py:25-30): w = linspace(0,1,T+2)[1:-1] weighting the following."""
+    p, f = _data(1)
+    model = TimeWeightedPFFillInModel()
+    out = model.apply({}, T, p, f)
+    w = np.linspace(0, 1, T + 2)[1:-1]
+    for t in range(T):
+        want = (1 - w[t]) * np.asarray(p[:, -1]) + w[t] * np.asarray(f[:, 0])
+        np.testing.assert_allclose(np.asarray(out["pred"][:, t]), want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("cls,kwargs", [
+    (TAIFillInModel, dict(gf_dim=8, c_dim=1, ks=5, num_block=5, kf_dim=4)),
+    (TWIFillInModel, dict(gf_dim=8, c_dim=1, ks=5, num_block=4, kf_dim=4)),
+    (BidirectionalSimpleAverageFillInModel, dict(gf_dim=8, c_dim=1)),
+    (BidirectionalTimeWeightedAverageFillInModel, dict(gf_dim=8, c_dim=1)),
+])
+def test_bidirectional_models_output_contract(cls, kwargs):
+    p, f = _data(kwargs.get("c_dim", 1))
+    model = cls(**kwargs)
+    variables = model.init(jax.random.PRNGKey(0), T, p, f)
+    out = model.apply(variables, T, p, f)
+    assert out["pred"].shape == (B, T, H, W, 1)
+    assert out["pred_forward"].shape == (B, T, H, W, 1)
+    assert out["pred_backward"].shape == (B, T, H, W, 1)
+    assert np.all(np.isfinite(np.asarray(out["pred"])))
+    # predictions are tanh/blend-bounded
+    assert np.abs(np.asarray(out["pred_forward"])).max() <= 1.0 + 1e-5
+
+
+def test_bi_sa_is_average_of_streams():
+    p, f = _data(1)
+    model = BidirectionalSimpleAverageFillInModel(gf_dim=8, c_dim=1)
+    variables = model.init(jax.random.PRNGKey(0), T, p, f)
+    out = model.apply(variables, T, p, f)
+    want = 0.5 * np.asarray(out["pred_forward"]) + 0.5 * np.asarray(out["pred_backward"])
+    np.testing.assert_allclose(np.asarray(out["pred"]), want, rtol=1e-5, atol=1e-6)
+
+
+def test_doubled_batch_equals_two_rollouts():
+    """K == F uses one doubled-batch rollout; K != F falls back to two calls.
+    Both paths must agree on the forward stream."""
+    p, f = _data(1)
+    model = BidirectionalSimpleAverageFillInModel(gf_dim=8, c_dim=1)
+    variables = model.init(jax.random.PRNGKey(0), T, p, f)
+    out_same = model.apply(variables, T, p, f)  # K == F path
+    f_longer = jnp.concatenate([f, f[:, -1:]], axis=1)  # K != F path
+    out_diff = model.apply(variables, T, p, f_longer)
+    np.testing.assert_allclose(
+        np.asarray(out_same["pred_forward"]),
+        np.asarray(out_diff["pred_forward"]),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_mcnet_ignores_following_frames():
+    p, f = _data(1)
+    model = MCNetFillInModel(gf_dim=8, c_dim=1)
+    variables = model.init(jax.random.PRNGKey(0), T, p, f)
+    out1 = model.apply(variables, T, p, f)
+    out2 = model.apply(variables, T, p, f * 0.0)
+    np.testing.assert_array_equal(np.asarray(out1["pred"]), np.asarray(out2["pred"]))
+
+
+def test_registry_keys_complete():
+    from vfi_tpu.models.registry import model_keys
+
+    expected = {
+        "TAI_gray", "TAI_color", "OFFillInModel", "MCNet_gray", "MCNet_color",
+        "SloMoFillInModel_color", "SloMoFillInModel_gray",
+        "TimeWeightedInterpolationFillInModel_gray", "TimeWeightedInterpolationFillInModel_color",
+        "BidirectionalSimpleAverageFillInModel_gray", "BidirectionalSimpleAverageFillInModel_color",
+        "BidirectionalTimeWeightedAverageFillInModel_gray",
+        "BidirectionalTimeWeightedAverageFillInModel_color",
+        "TimeWeightedPFFillInModel",
+    } | {
+        f"{n}_{s}"
+        for n in (
+            "SCTSkipConScaledTForward", "SCTSkipConScaledTInward", "SCTSkipConScaledTRandom",
+            "SCTSkipConScaledTRandomB", "SCTSkipConScaledTRandomC", "SCTSkipConScaledTRandomD",
+            "SCTBypassScaledTForward", "SCTFrameEncDecBNSkipConScaledTForward",
+        )
+        for s in ("gray", "color")
+    }
+    assert set(model_keys()) == expected
+
+
+def test_registry_json_literal():
+    from vfi_tpu.models.registry import create_model
+
+    m = create_model(
+        '{"class": "TAIFillInModel", "args": [], '
+        '"kwargs": {"gf_dim": 8, "c_dim": 1, "ks": 5, "num_block": 5}}'
+    )
+    assert m.gf_dim == 8 and m.ks == 5
