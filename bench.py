@@ -52,17 +52,16 @@ def build(batch):
 
 
 def measure_fps(batch, iters, warmup=2):
-    import jax
+    import numpy as np
 
     fwd, variables, p, f = build(batch)
-    out = fwd(variables, p, f)
-    jax.block_until_ready(out)
-    for _ in range(warmup - 1):
-        jax.block_until_ready(fwd(variables, p, f))
+    # np.asarray forces a full device->host sync; block_until_ready alone has
+    # been observed to return early on the experimental axon TPU tunnel.
+    for _ in range(warmup):
+        np.asarray(fwd(variables, p, f))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(variables, p, f)
-    jax.block_until_ready(out)
+        np.asarray(fwd(variables, p, f))
     dt = (time.perf_counter() - t0) / iters
     return batch * T / dt, dt
 
@@ -95,6 +94,9 @@ def cpu_proxy_fps():
 
 def main():
     sys.path.insert(0, REPO)
+    from vfi_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
     import jax
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")

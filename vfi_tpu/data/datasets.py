@@ -105,6 +105,7 @@ class ContiguousVideoClipDataset:
         resample_on_fail: bool,
         padding_size: Sequence[int] = (0, 0),
         data_root: str | None = None,
+        use_native: bool = True,
     ):
         self.c_dim = c_dim
         self.seq_len = seq_length
@@ -114,6 +115,7 @@ class ContiguousVideoClipDataset:
         self.padding_size = tuple(padding_size)  # (pad_bottom, pad_right)
         self.resample_on_fail = resample_on_fail
         self.data_root = data_root or ""
+        self.use_native = use_native
         with open(video_list_path) as f:
             self.files = [ln.strip() for ln in f if ln.strip()]
 
@@ -150,6 +152,26 @@ class ContiguousVideoClipDataset:
     def _read_seq(self, vid: _VideoReader, frame_indexes, clip_label: str):
         flip_flag = self.flip and random.random() > 0.5
         back_flag = self.backwards and random.random() > 0.5
+
+        # Fast path: frame-directory sources decode + preprocess in the native
+        # C++ loader (thread pool, no GIL) — see native/vfidata.cpp.
+        if getattr(vid, "_frame_paths", None) is not None and self.use_native:
+            from . import native_loader
+
+            if native_loader.available():
+                try:
+                    batch = native_loader.load_clip_batch(
+                        [[vid._frame_paths[t] for t in frame_indexes]],
+                        self.image_size,
+                        self.c_dim,
+                        self.padding_size,
+                        flip_flags=[flip_flag],
+                        reverse_flags=[back_flag],
+                    )
+                    return {"targets": batch[0], "clip_label": clip_label}
+                except IOError:
+                    pass  # fall through to the Python path
+
         frames = []
         for t in frame_indexes:
             try:

@@ -1,0 +1,37 @@
+"""Process-level JAX configuration helpers.
+
+Call :func:`setup_jax` early in every CLI: enables the persistent
+compilation cache (first full-size bi-TAI compile on the TPU tunnel costs
+minutes; subsequent processes hit the cache) and exposes a profiler hook.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def setup_jax(cache_dir: str | None = None) -> None:
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "VFI_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/vfi_tpu_xla")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # noqa: BLE001 - cache is best-effort
+        print(f"warning: compilation cache unavailable: {e}")
+
+
+def start_profiler_server(port: int = 9999) -> None:
+    """Start the jax profiler trace server (SURVEY.md §5.1 gap)."""
+    import jax
+
+    jax.profiler.start_server(port)
+
+
+def trace_dir() -> str:
+    d = os.environ.get("VFI_TPU_TRACE_DIR", "/tmp/vfi_tpu_trace")
+    os.makedirs(d, exist_ok=True)
+    return d
