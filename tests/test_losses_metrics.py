@@ -1,0 +1,98 @@
+"""Losses, discriminator labels, and metric-semantics tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vfi_tpu.ops.metrics import psnr, quantize_uint8, ssim
+from vfi_tpu.train.losses import disc_window_labels, gdl_loss
+
+
+def test_gdl_matches_naive():
+    """GDL = mean L1 of forward-difference mismatches on the interior grid
+    (reference losses.py:17-45)."""
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 5, 6, 3).astype(np.float32)
+    y = rng.randn(2, 5, 6, 3).astype(np.float32)
+
+    def grads(a):
+        gw = a[:, :, :-1, :] - a[:, :, 1:, :]
+        gh = a[:, 1:, :, :] - a[:, :-1, :, :]
+        return gw, gh
+
+    xw, xh = grads(x)
+    yw, yh = grads(y)
+    want = np.mean(np.abs(xw - yw)[:, 1:, :, :] + np.abs(xh - yh)[:, :, 1:, :])
+    got = float(gdl_loss(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_disc_window_labels():
+    """Windows fully inside P or F are real=1 (environments.py:308-323)."""
+    labels = np.asarray(disc_window_labels(K=5, T=5, F=5, window=3))
+    # 15 frames, window 3 -> 13 windows; first 3 fully in P, last 3 fully in F
+    assert labels.shape == (13,)
+    np.testing.assert_array_equal(labels[:3], 1)
+    np.testing.assert_array_equal(labels[3:10], 0)
+    np.testing.assert_array_equal(labels[10:], 1)
+    # Degenerate: window larger than context -> all fake
+    labels2 = np.asarray(disc_window_labels(K=2, T=2, F=2, window=3))
+    np.testing.assert_array_equal(labels2, 0)
+
+
+def test_psnr_known_value():
+    a = jnp.zeros((1, 8, 8, 1))
+    b = jnp.full((1, 8, 8, 1), 10.0)
+    # mse=100 -> psnr = 10*log10(255^2/100)
+    want = 10 * np.log10(255.0**2 / 100.0)
+    np.testing.assert_allclose(float(psnr(a, b)[0]), want, rtol=1e-5)
+    # identical images clamp at 100
+    np.testing.assert_allclose(float(psnr(a, a, clamp=100.0)[0]), 100.0)
+
+
+def test_ssim_bounds_and_identity():
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randint(0, 255, (2, 16, 16, 3)).astype(np.float32))
+    s_same = np.asarray(ssim(img, img))
+    np.testing.assert_allclose(s_same, 1.0, atol=1e-5)
+    noisy = jnp.clip(img + 30 * jnp.asarray(rng.randn(2, 16, 16, 3), jnp.float32), 0, 255)
+    s_noisy = np.asarray(ssim(img, noisy))
+    assert np.all(s_noisy < 0.99) and np.all(s_noisy > -1.0)
+
+
+def test_ssim_matches_skimage_formula_on_uniform_filter():
+    """Hand-computed SSIM on a tiny deterministic case with a 3x3 window."""
+    x = np.arange(25, dtype=np.float32).reshape(1, 5, 5, 1)
+    y = x[::-1].copy()
+    got = float(ssim(jnp.asarray(x), jnp.asarray(y), win=3)[0])
+
+    # naive reference implementation
+    def win_stats(a):
+        means, sqmeans = [], []
+        for i in range(3):
+            for j in range(3):
+                means.append(a[0, i : i + 3, j : j + 3, 0].mean())
+        return np.array(means)
+
+    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    vals = []
+    for i in range(3):
+        for j in range(3):
+            px = x[0, i : i + 3, j : j + 3, 0].ravel()
+            py = y[0, i : i + 3, j : j + 3, 0].ravel()
+            ux, uy = px.mean(), py.mean()
+            cov_norm = 9 / 8
+            vx = cov_norm * (np.mean(px * px) - ux * ux)
+            vy = cov_norm * (np.mean(py * py) - uy * uy)
+            vxy = cov_norm * (np.mean(px * py) - ux * uy)
+            vals.append(((2 * ux * uy + c1) * (2 * vxy + c2)) / ((ux**2 + uy**2 + c1) * (vx + vy + c2)))
+    np.testing.assert_allclose(got, np.mean(vals), rtol=1e-5)
+
+
+def test_quantize_matches_png_roundtrip():
+    rng = np.random.RandomState(1)
+    frames = jnp.asarray(rng.uniform(-1.2, 1.2, (1, 4, 4, 1)).astype(np.float32))
+    q = np.asarray(quantize_uint8(frames))
+    want = np.round(np.clip((np.asarray(frames) + 1) / 2, 0, 1) * 255)
+    np.testing.assert_array_equal(q, want)
+    assert q.min() >= 0 and q.max() <= 255
