@@ -42,7 +42,9 @@ def build(batch):
     rng = jax.random.PRNGKey(0)
     p = jax.random.uniform(rng, (batch, K, H, W, C), minval=-1.0, maxval=1.0)
     f = jax.random.uniform(rng, (batch, F, H, W, C), minval=-1.0, maxval=1.0)
-    variables = model.init(rng, T, p, f)
+    # jit the init: flax init otherwise dispatches hundreds of individual ops,
+    # each one an RPC over the axon TPU tunnel.
+    variables = jax.jit(model.init, static_argnums=1)(rng, T, p, f)
 
     @jax.jit
     def fwd(variables, p, f):
