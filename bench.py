@@ -46,6 +46,11 @@ def build(batch):
     # each one an RPC over the axon TPU tunnel.
     variables = jax.jit(model.init, static_argnums=1)(rng, T, p, f)
 
+    if os.environ.get("BENCH_DTYPE") == "bfloat16":
+        import jax.numpy as jnp
+
+        variables, p, f = jax.tree.map(lambda a: a.astype(jnp.bfloat16), (variables, p, f))
+
     @jax.jit
     def fwd(variables, p, f):
         return model.apply(variables, T, p, f)["pred"]

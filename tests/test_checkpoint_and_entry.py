@@ -1,0 +1,65 @@
+"""Checkpoint save/restore round-trip and the driver entry points."""
+
+import os
+import sys
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+from vfi_tpu.models.fill_in import TAIFillInModel
+from vfi_tpu.train.environments import create_training_environment
+from vfi_tpu.utils import checkpoint as ckpt
+from vfi_tpu.utils.config import TrainConfig
+
+K = T = F = 2
+H = W = 32
+
+
+def _env_and_state():
+    model = TAIFillInModel(gf_dim=8, c_dim=1, ks=5, num_block=5, kf_dim=4)
+    cfg = TrainConfig(K=K, T=T, F=F, df_dim=8, Ip=1, disc_window_size=3)
+    env = create_training_environment(model, cfg)
+    batch = np.random.RandomState(0).uniform(-1, 1, (2, K + T + F, H, W, 1)).astype(np.float32)
+    state = env.init_state(jax.random.PRNGKey(0), batch, K, T, F)
+    return env, state, batch
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    env, state, batch = _env_and_state()
+    state, _ = env.train_step(state, K, T, F, batch)
+
+    save_dir = str(tmp_path / "ckpt")
+    counters = {"updates": 1, "sum_avg_psnr_err": 12.3, "sum_avg_ssim_err": 0.9}
+    ckpt.save_snapshot(save_dir, "model_latest.ckpt", state, counters)
+    assert ckpt.has_snapshot(save_dir, "model_latest.ckpt")
+
+    # fresh template with different values -> restore must reproduce exactly
+    env2, state2, _ = _env_and_state()
+    restored, counters2 = ckpt.load_snapshot(save_dir, "model_latest.ckpt", state2)
+    assert int(counters2["updates"]) == 1
+    assert float(counters2["sum_avg_ssim_err"]) == 0.9
+
+    for a, b in zip(jax.tree.leaves(state.g_params), jax.tree.leaves(restored.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.d_opt), jax.tree.leaves(restored.d_opt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # training resumes from the restored state
+    s3, m = env.train_step(restored, K, T, F, batch)
+    assert np.isfinite(float(m["G_loss"]))
+
+
+def test_graft_entry_single_chip_shapes():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out_shape = jax.eval_shape(fn, *args)
+    assert out_shape.shape == (4, 5, 128, 128, 1)
+
+
+def test_graft_entry_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

@@ -26,11 +26,17 @@ def _abs(path: str) -> str:
 
 
 def save_snapshot(save_dir: str, name: str, state: Any, counters: dict) -> None:
-    """Save a training-state pytree + scalar counters under ``save_dir/name``."""
+    """Save a training-state pytree + scalar counters under ``save_dir/name``.
+
+    The state is flattened to a plain nested dict (flax state-dict form) so
+    restoration does not depend on custom pytree node types being identical.
+    """
+    import flax.serialization
+
     os.makedirs(save_dir, exist_ok=True)
     path = _abs(os.path.join(save_dir, name))
     payload = {
-        "state": jax.device_get(state),
+        "state": flax.serialization.to_state_dict(jax.device_get(state)),
         "counters": {k: np.asarray(v) for k, v in counters.items()},
     }
     ckptr = ocp.PyTreeCheckpointer()
@@ -39,13 +45,15 @@ def save_snapshot(save_dir: str, name: str, state: Any, counters: dict) -> None:
 
 def load_snapshot(save_dir: str, name: str, state_template: Any) -> tuple[Any, dict]:
     """Restore (state, counters); ``state_template`` supplies the structure."""
+    import flax.serialization
+
     path = _abs(os.path.join(save_dir, name))
     if not os.path.isdir(path):
         raise FileNotFoundError(f"no snapshot at {path}")
     ckptr = ocp.PyTreeCheckpointer()
-    template = {"state": jax.device_get(state_template), "counters": None}
-    payload = ckptr.restore(path, item=template)
-    return payload["state"], payload["counters"]
+    payload = ckptr.restore(path)
+    state = flax.serialization.from_state_dict(jax.device_get(state_template), payload["state"])
+    return state, payload["counters"]
 
 
 def has_snapshot(save_dir: str, name: str) -> bool:
