@@ -93,6 +93,17 @@ def main(argv=None):
     cfg = TrainConfig.from_opt(opt)
     env = create_training_environment(model, cfg)
 
+    # With --sample_KTF, prefer the single-compilation dynamic step: the
+    # static path would compile one program per sampled (K, T, F) combination.
+    dyn_env = None
+    if opt.sample_KTF:
+        from vfi_tpu.train.dynamic_env import create_dynamic_environment
+
+        dyn_env = create_dynamic_environment(model, cfg)
+        if dyn_env is None:
+            print("warning: no dynamic-KTF path for this model; sampled lengths will "
+                  "compile one program per combination")
+
     sample = next(train_iter)
     state = env.init_state(jax.random.PRNGKey(opt.seed), sample["targets"], opt.K, opt.T, opt.F)
     n_params = sum(x.size for x in jax.tree.leaves(state.g_params))
@@ -113,9 +124,12 @@ def main(argv=None):
     while total_updates < opt.max_iter:
         batch = next(train_iter)
         K, T, F = env.sample_ktf(rng, opt.sample_KTF)
-        targets = shard_batch(mesh, {"targets": batch["targets"][:, : K + T + F]})["targets"]
-
-        state, errors = env.train_step(state, K, T, F, targets)
+        if dyn_env is not None:
+            targets = shard_batch(mesh, {"targets": batch["targets"]})["targets"]
+            state, errors = dyn_env.train_step_dynamic(state, targets, np.asarray([K, T, F]))
+        else:
+            targets = shard_batch(mesh, {"targets": batch["targets"][:, : K + T + F]})["targets"]
+            state, errors = env.train_step(state, K, T, F, targets)
         total_updates += 1
 
         if total_updates % opt.print_freq == 0:
@@ -128,12 +142,13 @@ def main(argv=None):
                 for k, v in errors.items():
                     writer.add_scalar(f"loss/{k}", float(v), total_updates)
                 writer.add_scalar("time_per_item", dt, total_updates)
-                out = env.forward_test(state.g_params, T, targets[:, :K], targets[:, K + T :])
+                seq = batch["targets"][:, : K + T + F]
+                out = env.forward_test(state.g_params, T, seq[:, :K], seq[:, K + T :])
                 vis = {
                     "pred_vis_seq": np.concatenate(
-                        [np.asarray(targets[:, :K]), np.asarray(out["pred"]), np.asarray(targets[:, K + T :])], axis=1
+                        [seq[:, :K], np.asarray(out["pred"]), seq[:, K + T :]], axis=1
                     ),
-                    "target_vis_seq": np.asarray(targets),
+                    "target_vis_seq": seq,
                 }
                 grid = visual_grid(vis, K, T)
                 writer.add_image("train_vis", grid.transpose(2, 0, 1), total_updates)

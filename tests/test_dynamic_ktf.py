@@ -1,0 +1,117 @@
+"""Dynamic (K, T, F) path: one compiled step must reproduce the static step.
+
+SURVEY.md §7 hard part 3: variable K/T/F without recompile storms.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vfi_tpu.models.fill_in import TAIFillInModel, TimeWeightedPFFillInModel
+from vfi_tpu.ops.dynamic import (
+    compact_video,
+    dynamic_time_weights,
+    dynamic_window_labels,
+    masked_mean,
+    pack_context,
+)
+from vfi_tpu.train.dynamic_env import DynamicTAIEnvironment
+from vfi_tpu.train.environments import create_training_environment
+from vfi_tpu.utils.config import TrainConfig
+
+MAX_K = MAX_T = MAX_F = 3
+B, H, W = 2, 32, 32
+
+
+def _targets(seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.uniform(-1, 1, (B, MAX_K + MAX_T + MAX_F, H, W, 1)).astype(np.float32)
+
+
+def test_pack_context_matches_prefix_slicing():
+    t = jnp.asarray(_targets())
+    K, T, F = 2, 1, 3
+    p, m, f = pack_context(t, jnp.int32(K), jnp.int32(T), jnp.int32(F), MAX_K, MAX_T, MAX_F)
+    # right-aligned preceding: last K entries are targets[:, :K]
+    np.testing.assert_array_equal(np.asarray(p[:, MAX_K - K :]), np.asarray(t[:, :K]))
+    np.testing.assert_array_equal(np.asarray(m[:, :T]), np.asarray(t[:, K : K + T]))
+    np.testing.assert_array_equal(np.asarray(f[:, :F]), np.asarray(t[:, K + T : K + T + F]))
+
+
+def test_dynamic_weights_and_labels():
+    w = np.asarray(dynamic_time_weights(jnp.int32(2), MAX_T))
+    np.testing.assert_allclose(w[:2], np.linspace(0, 1, 4)[1:-1], rtol=1e-6)
+    assert w[2] == 0.0
+
+    labels, valid = dynamic_window_labels(jnp.int32(2), jnp.int32(2), jnp.int32(2), 9, 2)
+    labels, valid = np.asarray(labels), np.asarray(valid)
+    # real length 6 -> 5 valid windows of size 2; first fully in P, last fully in F
+    np.testing.assert_array_equal(valid, [1, 1, 1, 1, 1, 0, 0, 0])
+    np.testing.assert_array_equal(labels[:5], [1, 0, 0, 0, 1])
+
+
+def test_compact_video_orders_real_frames():
+    t = jnp.asarray(_targets())
+    K, T, F = 2, 2, 1
+    p, m, f = pack_context(t, jnp.int32(K), jnp.int32(T), jnp.int32(F), MAX_K, MAX_T, MAX_F)
+    video = compact_video(p, m, f, jnp.int32(K), jnp.int32(T), jnp.int32(F))
+    np.testing.assert_array_equal(np.asarray(video[:, : K + T + F]), np.asarray(t[:, : K + T + F]))
+
+
+@pytest.mark.parametrize("K,T,F", [(2, 2, 2), (3, 1, 2)])
+def test_tw_p_f_dynamic_matches_static(K, T, F):
+    t = jnp.asarray(_targets())
+    p, m, f = pack_context(t, jnp.int32(K), jnp.int32(T), jnp.int32(F), MAX_K, MAX_T, MAX_F)
+    model = TimeWeightedPFFillInModel()
+    dyn = model.apply({}, MAX_T, p, f, lengths=(jnp.int32(K), jnp.int32(T), jnp.int32(F)))
+    static = model.apply({}, T, t[:, :K], t[:, K + T : K + T + F])
+    np.testing.assert_allclose(
+        np.asarray(dyn["pred"][:, :T]), np.asarray(static["pred"]), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_tai_dynamic_forward_matches_static():
+    model = TAIFillInModel(gf_dim=8, c_dim=1, ks=5, num_block=5, kf_dim=4)
+    t = jnp.asarray(_targets())
+    K, T, F = 2, 2, 2
+    variables = model.init(jax.random.PRNGKey(0), MAX_T, t[:, :MAX_K], t[:, -MAX_F:])
+
+    static = model.apply(variables, T, t[:, :K], t[:, K + T : K + T + F])
+    p, m, f = pack_context(t, jnp.int32(K), jnp.int32(T), jnp.int32(F), MAX_K, MAX_T, MAX_F)
+    dyn = model.apply(variables, MAX_T, p, f, lengths=(jnp.int32(K), jnp.int32(T), jnp.int32(F)))
+
+    for key in ("pred", "pred_forward", "pred_backward"):
+        np.testing.assert_allclose(
+            np.asarray(dyn[key][:, :T]), np.asarray(static[key]), rtol=2e-4, atol=2e-5,
+            err_msg=key,
+        )
+
+
+def test_dynamic_train_step_matches_static_losses():
+    model = TAIFillInModel(gf_dim=8, c_dim=1, ks=5, num_block=5, kf_dim=4)
+    cfg = TrainConfig(K=MAX_K, T=MAX_T, F=MAX_F, df_dim=8, Ip=1, disc_window_size=2)
+    env_dyn = DynamicTAIEnvironment(model, cfg)
+    env_static = create_training_environment(model, cfg)
+
+    targets = _targets()
+    K, T, F = 2, 2, 2
+    state_d = env_dyn.init_state(jax.random.PRNGKey(0), targets, MAX_K, MAX_T, MAX_F)
+    state_s = env_static.init_state(jax.random.PRNGKey(0), targets, MAX_K, MAX_T, MAX_F)
+
+    _, m_dyn = env_dyn.train_step_dynamic(state_d, jnp.asarray(targets), jnp.asarray([K, T, F]))
+    _, m_static = env_static.train_step(state_s, K, T, F, targets[:, : K + T + F])
+
+    for key in ("G_Lp", "G_gdl", "G_GAN", "G_Lp_forward", "G_gdl_backward", "D_fake", "D_real"):
+        np.testing.assert_allclose(
+            float(m_dyn[key]), float(m_static[key]), rtol=2e-4, atol=1e-5, err_msg=key
+        )
+
+    # a second call with different lengths must NOT recompile (cache size 1)
+    _, m2 = env_dyn.train_step_dynamic(
+        env_dyn.init_state(jax.random.PRNGKey(1), targets, MAX_K, MAX_T, MAX_F),
+        jnp.asarray(targets),
+        jnp.asarray([3, 1, 2]),
+    )
+    assert np.isfinite(float(m2["G_loss"]))
+    assert env_dyn.train_step_dynamic._cache_size() == 1

@@ -64,30 +64,48 @@ class BidirectionalMCNetModel(nn.Module):
     def setup(self):
         self.mcnet = MCNet(self.gf_dim, self.c_dim, self.feature_size, self.forget_bias)
 
-    def bidirectional_rollout(self, T, preceding, following) -> tuple[RolloutStep, RolloutStep]:
-        B, K = preceding.shape[:2]
-        F = following.shape[1]
+    def bidirectional_rollout(self, T, preceding, following, lengths=None) -> tuple[RolloutStep, RolloutStep]:
+        """Run both MC-Net streams.
+
+        :param lengths: None for static shapes, or traced (K, T_real, F)
+            scalars for the dynamic path — then ``preceding`` is right-aligned
+            in a max_K buffer and ``following`` left-aligned in a max_F buffer
+            (vfi_tpu/ops/dynamic.py), and the returned backward stream is in
+            *rollout* order (reverse with reverse_middle(T_real) downstream).
+        """
+        B, max_K = preceding.shape[:2]
+        max_F = following.shape[1]
         xt = preceding[:, -1]
         xt_b = following[:, 0]
         diff_f = _diff_frames(preceding)
         diff_b = _diff_frames(following[:, ::-1])
 
-        if K == F:
+        if lengths is None:
+            skip_f = skip_b = None
+        else:
+            K, _, F = lengths
+            skip_f = jnp.broadcast_to(max_K - K, (B,))
+            skip_b = jnp.broadcast_to(max_F - F, (B,))
+
+        if max_K == max_F:
             # One rollout over the doubled batch; split afterwards.
+            skip = None if lengths is None else jnp.concatenate([skip_f, skip_b])
             out = self.mcnet(
                 T,
                 jnp.concatenate([diff_f, diff_b], axis=0),
                 jnp.concatenate([xt, xt_b], axis=0),
+                warmup_skip=skip,
             )
             fwd = jax.tree.map(lambda a: a[:, :B], out)
             bwd = jax.tree.map(lambda a: a[:, B:], out)
         else:
-            fwd = self.mcnet(T, diff_f, xt)
-            bwd = self.mcnet(T, diff_b, xt_b)
+            fwd = self.mcnet(T, diff_f, xt, warmup_skip=skip_f)
+            bwd = self.mcnet(T, diff_b, xt_b, warmup_skip=skip_b)
 
-        # Backward stream was generated in reversed time; restore natural order
-        # (reference tai.py:80-83).
-        bwd = jax.tree.map(lambda a: a[::-1], bwd)
+        if lengths is None:
+            # Backward stream was generated in reversed time; restore natural
+            # order (reference tai.py:80-83).
+            bwd = jax.tree.map(lambda a: a[::-1], bwd)
         return fwd, bwd
 
 
@@ -115,15 +133,24 @@ class TAIFillInModel(BidirectionalMCNetModel):
             sepconv_impl=self.sepconv_impl,
         )
 
-    def __call__(self, T: int, preceding, following) -> Dict[str, Any]:
+    def __call__(self, T: int, preceding, following, lengths=None) -> Dict[str, Any]:
         B = preceding.shape[0]
-        fwd, bwd = self.bidirectional_rollout(T, preceding, following)
+        fwd, bwd = self.bidirectional_rollout(T, preceding, following, lengths)
+        if lengths is not None:
+            from ..ops.dynamic import reverse_middle
+
+            bwd = jax.tree.map(lambda a: reverse_middle(a, lengths[1]), bwd)
 
         # Fold T into batch and blend every middle frame at once.
         m2 = self.merge_residual2(_fold(fwd.res2), _fold(bwd.res2))
         m3 = self.merge_residual3(_fold(fwd.res3), _fold(bwd.res3))
 
-        w = time_weights(T, preceding.dtype)  # weight of the backward stream
+        if lengths is None:
+            w = time_weights(T, preceding.dtype)  # weight of the backward stream
+        else:
+            from ..ops.dynamic import dynamic_time_weights
+
+            w = dynamic_time_weights(lengths[1], T, preceding.dtype)
         ratio = jnp.repeat(1.0 - w, B)  # reference passes ratio=1-w[t] (tai.py:99)
         dot1, dot2 = self.kernelnet(
             _fold(fwd.pred),
@@ -163,9 +190,16 @@ class TWIFillInModel(TAIFillInModel):
 class BidirectionalTimeWeightedAverageFillInModel(BidirectionalMCNetModel):
     """bi-TWA: time-weighted average of the raw forward/backward predictions."""
 
-    def __call__(self, T: int, preceding, following) -> Dict[str, Any]:
-        fwd, bwd = self.bidirectional_rollout(T, preceding, following)
-        w = time_weights(T, preceding.dtype)[:, None, None, None, None]
+    def __call__(self, T: int, preceding, following, lengths=None) -> Dict[str, Any]:
+        fwd, bwd = self.bidirectional_rollout(T, preceding, following, lengths)
+        if lengths is None:
+            w = time_weights(T, preceding.dtype)
+        else:
+            from ..ops.dynamic import dynamic_time_weights, reverse_middle
+
+            bwd = jax.tree.map(lambda a: reverse_middle(a, lengths[1]), bwd)
+            w = dynamic_time_weights(lengths[1], T, preceding.dtype)
+        w = w[:, None, None, None, None]
         comb = (1.0 - w) * fwd.pred + w * bwd.pred
         return {
             "pred": _bt(comb),
@@ -177,8 +211,12 @@ class BidirectionalTimeWeightedAverageFillInModel(BidirectionalMCNetModel):
 class BidirectionalSimpleAverageFillInModel(BidirectionalMCNetModel):
     """bi-SA: plain 0.5/0.5 average of the two streams."""
 
-    def __call__(self, T: int, preceding, following) -> Dict[str, Any]:
-        fwd, bwd = self.bidirectional_rollout(T, preceding, following)
+    def __call__(self, T: int, preceding, following, lengths=None) -> Dict[str, Any]:
+        fwd, bwd = self.bidirectional_rollout(T, preceding, following, lengths)
+        if lengths is not None:
+            from ..ops.dynamic import reverse_middle
+
+            bwd = jax.tree.map(lambda a: reverse_middle(a, lengths[1]), bwd)
         comb = 0.5 * fwd.pred + 0.5 * bwd.pred
         return {
             "pred": _bt(comb),
@@ -199,9 +237,12 @@ class MCNetFillInModel(nn.Module):
     def setup(self):
         self.mcnet = MCNet(self.gf_dim, self.c_dim, self.feature_size, self.forget_bias)
 
-    def __call__(self, T: int, preceding, following) -> Dict[str, Any]:
+    def __call__(self, T: int, preceding, following, lengths=None) -> Dict[str, Any]:
         del following
-        out = self.mcnet(T, _diff_frames(preceding), preceding[:, -1])
+        skip = None
+        if lengths is not None:
+            skip = jnp.broadcast_to(preceding.shape[1] - lengths[0], (preceding.shape[0],))
+        out = self.mcnet(T, _diff_frames(preceding), preceding[:, -1], warmup_skip=skip)
         return {"pred": _bt(out.pred)}
 
 
@@ -210,9 +251,15 @@ class TimeWeightedPFFillInModel(nn.Module):
     preceding and first following frame (reference tw_p_f.py:13-34)."""
 
     @nn.compact
-    def __call__(self, T: int, preceding, following) -> Dict[str, Any]:
+    def __call__(self, T: int, preceding, following, lengths=None) -> Dict[str, Any]:
         last_p = preceding[:, -1:]  # [B, 1, H, W, C]
         first_f = following[:, :1]
-        w = time_weights(T, preceding.dtype)[None, :, None, None, None]
+        if lengths is None:
+            w = time_weights(T, preceding.dtype)
+        else:
+            from ..ops.dynamic import dynamic_time_weights
+
+            w = dynamic_time_weights(lengths[1], T, preceding.dtype)
+        w = w[None, :, None, None, None]
         pred = (1.0 - w) * last_p + w * first_f
         return {"pred": pred}

@@ -135,12 +135,23 @@ class MCNet(nn.Module):
         self.residual3 = Residual(self.gf_dim * 4)
         self.dec_cnn = DecCnn(self.c_dim, self.gf_dim)
 
-    def __call__(self, T: int, diff_in: jax.Array, xt: jax.Array) -> RolloutStep:
+    def __call__(
+        self,
+        T: int,
+        diff_in: jax.Array,
+        xt: jax.Array,
+        warmup_skip: jax.Array | None = None,
+    ) -> RolloutStep:
         """Run warm-up over all given difference frames, then roll out T steps.
 
         :param T: number of frames to predict (static)
         :param diff_in: grayscale difference frames ``[B, K-1, H, W, 1]``
         :param xt: the content frame (last context frame) ``[B, H, W, C]``
+        :param warmup_skip: optional traced count (scalar or [B]) of *invalid*
+            leading warm-up steps — used by the dynamic-(K,T,F) path where the
+            preceding frames are right-aligned in a max_K buffer
+            (vfi_tpu/ops/dynamic.py).  Masked steps leave the LSTM state
+            untouched, so the result equals a shorter warm-up exactly.
         """
         B, Km1, H, W, _ = diff_in.shape
         state = ConvLSTMCell.initial_state(B, H // 8, W // 8, 4 * self.gf_dim, xt.dtype)
@@ -150,7 +161,13 @@ class MCNet(nn.Module):
         h_dyn = res_m = None
         for t in range(Km1):
             enc_h, res_m = self.motion_enc(diff_in[:, t])
-            h_dyn, state = self.conv_lstm(enc_h, state)
+            new_h_dyn, new_state = self.conv_lstm(enc_h, state)
+            if warmup_skip is None:
+                h_dyn, state = new_h_dyn, new_state
+            else:
+                valid = jnp.reshape(t >= warmup_skip, (-1, 1, 1, 1)).astype(state.dtype)
+                state = valid * new_state + (1.0 - valid) * state
+                h_dyn = new_h_dyn  # overwritten by the (always valid) last step
 
         steps = []
         for t in range(T):

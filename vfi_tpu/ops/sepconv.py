@@ -29,6 +29,13 @@ Three interchangeable implementations live here:
 
 The public entry point :func:`sepconv` dispatches to the best implementation
 for the current backend.
+
+Measured on TPU v5e (B*T=40, 128x128 gray, ks=51, f32):
+    sepconv_mxu     27 ms   (HIGHEST precision; ~7 ms in bf16)
+    sepconv_pallas  94 ms   (VPU-bound: the 51 unaligned lane shifts per row
+                             dominate — cross-lane shuffles beat the FMAs)
+The banded-matmul MXU formulation is the default: for this op the systolic
+array IS the speed-of-light path on TPU, and its AD comes for free.
 """
 
 from __future__ import annotations

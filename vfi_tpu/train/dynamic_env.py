@@ -1,0 +1,175 @@
+"""Dynamic-(K, T, F) training: ONE compiled step for every sampled length.
+
+The reference re-samples (K, T, F) each iteration (environments.py:156-166,
+--sample_KTF).  The static environments would compile one XLA program per
+combination (up to max_K * max_T * max_F programs); this module provides
+`train_step_dynamic`, compiled once at (max_K, max_T, max_F) with the sampled
+lengths as traced scalars — pad-to-max buffers + masks throughout
+(SURVEY.md §7 hard part 3).  Exactness: masked warm-up leaves the ConvLSTM
+state untouched for padded steps, so results equal the static program at the
+same lengths up to float reassociation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.dynamic import (
+    compact_video,
+    dynamic_window_labels,
+    masked_mean,
+    middle_mask,
+    pack_context,
+)
+from ..ops.image import inverse_transform
+from .environments import L2GDLDiscEnvironment, TAIEnvironment, TrainState
+
+
+def _masked_gdl(pred, target, tmask):
+    """GDL terms (losses.py:17-45) masked over the middle-frame axis."""
+    pw = pred[..., :, :-1, :] - pred[..., :, 1:, :]
+    ph = pred[..., 1:, :, :] - pred[..., :-1, :, :]
+    tw = target[..., :, :-1, :] - target[..., :, 1:, :]
+    th = target[..., 1:, :, :] - target[..., :-1, :, :]
+    w_term = jnp.abs(pw - tw)[..., 1:, :, :]
+    h_term = jnp.abs(ph - th)[..., :, 1:, :]
+    return masked_mean(w_term + h_term, tmask[:, :, None, None, None])
+
+
+def _masked_bce(logits, labels, valid):
+    per = optax.sigmoid_binary_cross_entropy(logits, labels)
+    return masked_mean(per, valid)
+
+
+class DynamicKTFMixin:
+    """Adds a single-compilation variable-length train step to the GAN envs."""
+
+    use_intermediate_losses = False  # True for the TAI family
+
+    def _g_loss_dyn(self, g_params, d_params, d_sn, K, T, F, targets):
+        c = self.cfg
+        p, m, f = pack_context(targets, K, T, F, c.K, c.T, c.F)
+        out = self.model.apply({"params": g_params}, c.T, p, f, lengths=(K, T, F))
+        tmask = middle_mask(T, c.T)[None, :]
+
+        pred01 = inverse_transform(out["pred"])
+        gt01 = inverse_transform(m)
+        terms: Dict[str, jax.Array] = {
+            "G_Lp": masked_mean((pred01 - gt01) ** 2, tmask[:, :, None, None, None]),
+            "G_gdl": _masked_gdl(pred01, gt01, tmask),
+        }
+        extra = {}
+        if self.use_intermediate_losses:
+            fwd01 = inverse_transform(out["pred_forward"])
+            bwd01 = inverse_transform(out["pred_backward"])
+            extra = {
+                "G_Lp_forward": masked_mean((fwd01 - gt01) ** 2, tmask[:, :, None, None, None]),
+                "G_Lp_backward": masked_mean((bwd01 - gt01) ** 2, tmask[:, :, None, None, None]),
+                "G_gdl_forward": _masked_gdl(fwd01, gt01, tmask),
+                "G_gdl_backward": _masked_gdl(bwd01, gt01, tmask),
+            }
+
+        fake = compact_video(p, out["pred"], f, K, T, F)
+        logits = self.discriminator.apply({"params": d_params, "sn": d_sn}, fake, train=False)
+        _, valid = dynamic_window_labels(K, T, F, fake.shape[1], c.disc_window_size)
+        terms["G_GAN"] = _masked_bce(logits, jnp.ones_like(logits), valid[None, :])
+
+        loss = c.alpha * (terms["G_Lp"] + terms["G_gdl"] + sum(extra.values())) + c.beta * terms["G_GAN"]
+        terms.update(extra)
+        terms["G_loss"] = loss
+        return loss, (out, p, m, f, terms)
+
+    def _d_loss_dyn(self, d_params, d_sn, pred, p, m, f, K, T, F):
+        c = self.cfg
+        fake = compact_video(p, jax.lax.stop_gradient(pred), f, K, T, F)
+        real = compact_video(p, m, f, K, T, F)
+        labels, valid = dynamic_window_labels(K, T, F, fake.shape[1], c.disc_window_size)
+
+        logits_fake, mut = self.discriminator.apply(
+            {"params": d_params, "sn": d_sn}, fake, train=True, mutable=["sn"]
+        )
+        loss_fake = _masked_bce(logits_fake, jnp.broadcast_to(labels[None], logits_fake.shape), valid[None])
+        logits_real, mut = self.discriminator.apply(
+            {"params": d_params, "sn": mut["sn"]}, real, train=True, mutable=["sn"]
+        )
+        loss_real = _masked_bce(logits_real, jnp.ones_like(logits_real), valid[None])
+        return loss_fake + loss_real, (mut["sn"], {"D_fake": loss_fake, "D_real": loss_real})
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+    def train_step_dynamic(self, state: TrainState, targets, ktf):
+        """One G + D update at traced lengths ``ktf = [K, T, F]``.
+
+        ``targets``: [B, max_K + max_T + max_F, H, W, C] — the max-length clip;
+        the sampled prefix K+T+F is used (train.py:111-115 semantics).
+        """
+        K, T, F = ktf[0], ktf[1], ktf[2]
+        rng, _ = jax.random.split(state.rng)
+        (loss, (out, p, m, f, terms)), g_grads = jax.value_and_grad(self._g_loss_dyn, has_aux=True)(
+            state.g_params, state.d_params, state.d_sn, K, T, F, targets
+        )
+        g_updates, g_opt = self.g_tx().update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        (d_loss, (d_sn, d_terms)), d_grads = jax.value_and_grad(self._d_loss_dyn, has_aux=True)(
+            state.d_params, state.d_sn, out["pred"], p, m, f, K, T, F
+        )
+        d_updates, d_opt = self.d_tx().update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        terms.update(d_terms)
+        return (
+            state.replace(
+                step=state.step + 1,
+                g_params=g_params,
+                g_opt=g_opt,
+                d_params=d_params,
+                d_sn=d_sn,
+                d_opt=d_opt,
+                rng=rng,
+            ),
+            terms,
+        )
+
+
+class DynamicL2GDLDiscEnvironment(DynamicKTFMixin, L2GDLDiscEnvironment):
+    pass
+
+
+class DynamicMCNetEnvironment(DynamicL2GDLDiscEnvironment):
+    min_K = 2
+
+
+class DynamicTAIEnvironment(DynamicKTFMixin, TAIEnvironment):
+    use_intermediate_losses = True
+
+
+def create_dynamic_environment(model, cfg):
+    """Dynamic-(K,T,F) counterpart of create_training_environment.
+
+    Returns None for model families without a dynamic path yet (SCT teacher
+    forcing, SloMo) — the trainer falls back to per-combination compilation.
+    """
+    from ..models.fill_in import (
+        BidirectionalSimpleAverageFillInModel,
+        BidirectionalTimeWeightedAverageFillInModel,
+        MCNetFillInModel,
+        TAIFillInModel,
+    )
+
+    if isinstance(
+        model,
+        (
+            TAIFillInModel,
+            BidirectionalSimpleAverageFillInModel,
+            BidirectionalTimeWeightedAverageFillInModel,
+        ),
+    ):
+        return DynamicTAIEnvironment(model, cfg)
+    if isinstance(model, MCNetFillInModel):
+        return DynamicMCNetEnvironment(model, cfg)
+    return None
