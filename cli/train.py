@@ -103,6 +103,8 @@ def main(argv=None):
         if dyn_env is None:
             print("warning: no dynamic-KTF path for this model; sampled lengths will "
                   "compile one program per combination")
+        else:
+            env = dyn_env  # superset: adds train_step_dynamic to the static env
 
     sample = next(train_iter)
     state = env.init_state(jax.random.PRNGKey(opt.seed), sample["targets"], opt.K, opt.T, opt.F)
