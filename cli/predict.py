@@ -15,6 +15,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import numpy as np
+
+from vfi_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
 from PIL import Image
 
 from vfi_tpu.data.datasets import ContiguousVideoClipDataset, DisjointVideoClipDataset, batch_iterator

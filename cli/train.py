@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import numpy as np
 
+from vfi_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
 from vfi_tpu.data.datasets import ContiguousVideoClipDataset, batch_iterator
 from vfi_tpu.models.registry import create_model
 from vfi_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
@@ -62,6 +66,10 @@ def main(argv=None):
     with open(os.path.join(expr_dir, "train_opt.txt"), "w") as f:
         listopt(opt, f)
     writer = make_writer(tb_dir)
+    if writer:
+        # options as a markdown table (reference train.py:34 / util.py:264-274)
+        rows = "\n".join(f"{k} | {v}" for k, v in sorted(vars(opt).items()))
+        writer.add_text("args", "Key | Value\n--- | ---\n" + rows)
 
     mesh = make_mesh(opt.mesh_shape)
     print(f"devices: {jax.device_count()} mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
@@ -124,6 +132,14 @@ def main(argv=None):
     rng = np.random.RandomState(opt.seed)
     t_start = time.time()
     while total_updates < opt.max_iter:
+        if opt.profile_steps is not None:
+            # SURVEY.md §5.1: tracing subsystem — capture an XLA trace window.
+            if total_updates + 1 == opt.profile_steps[0]:
+                jax.profiler.start_trace(opt.profile_dir)
+            elif total_updates + 1 == opt.profile_steps[1]:
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {opt.profile_dir}")
+
         batch = next(train_iter)
         K, T, F = env.sample_ktf(rng, opt.sample_KTF)
         if dyn_env is not None:

@@ -118,6 +118,9 @@ def build_train_parser() -> ArgFileParser:
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--mesh_shape", type=int, nargs="+", default=None,
                    help="Device mesh shape, e.g. '8' for pure data parallel; default = all devices on one axis")
+    g.add_argument("--profile_steps", type=int, nargs=2, default=None, metavar=("START", "STOP"),
+                   help="Capture a jax.profiler trace between these iterations")
+    g.add_argument("--profile_dir", type=str, default="/tmp/vfi_tpu_trace")
 
     return p
 
