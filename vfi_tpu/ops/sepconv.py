@@ -155,7 +155,9 @@ def sepconv_mxu(x: jax.Array, v: jax.Array, h: jax.Array) -> jax.Array:
     if x.dtype == jnp.bfloat16:
         dt, prec = jnp.bfloat16, lax.Precision.DEFAULT
     else:
-        dt, prec = jnp.float32, lax.Precision.HIGHEST
+        # HIGH = 3-pass bf16 on the MXU: ~2x faster than HIGHEST with ~2^-16
+        # relative error — far inside the reference-parity tolerance.
+        dt, prec = jnp.float32, lax.Precision.HIGH
     S = _skew_rows(h.astype(dt))  # [B, H, W, W+ks-1]
 
     # Row slabs: slabs[b, y, fy, u, c] = x[b, y+fy, u, c]
