@@ -1,0 +1,101 @@
+"""Data pipeline: videolist parsing, augmentation semantics, native loader."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vfi_tpu.data.datasets import ContiguousVideoClipDataset, DisjointVideoClipDataset, batch_iterator
+
+
+@pytest.fixture(scope="module")
+def clips(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    rng = np.random.RandomState(0)
+    paths = []
+    # one .npy clip + one frame-directory clip
+    vid = rng.randint(0, 255, (10, 24, 20, 3), dtype=np.uint8)
+    npy = str(root / "a.npy")
+    np.save(npy, vid)
+    paths.append(npy)
+
+    framedir = root / "b"
+    framedir.mkdir()
+    for t in range(10):
+        Image.fromarray(rng.randint(0, 255, (24, 20, 3), dtype=np.uint8)).save(framedir / f"{t:03d}.png")
+    paths.append(str(framedir))
+
+    lst = str(root / "list.txt")
+    with open(lst, "w") as f:
+        f.write(f"{paths[0]} 1-10\n{paths[1]} 2-9\n")
+    return lst, paths, vid
+
+
+def test_contiguous_dataset_shapes_and_range(clips):
+    lst, _, _ = clips
+    ds = ContiguousVideoClipDataset(3, lst, 6, False, False, (16, 16), False)
+    item = ds[0]
+    assert item["targets"].shape == (6, 16, 16, 3)
+    assert -1.0 <= item["targets"].min() and item["targets"].max() <= 1.0
+    assert item["clip_label"].endswith("_1-10")
+
+    gray = ContiguousVideoClipDataset(1, lst, 6, False, False, (16, 16), False)
+    assert gray[0]["targets"].shape == (6, 16, 16, 1)
+
+
+def test_contiguous_dataset_too_short_raises(clips):
+    lst, _, _ = clips
+    ds = ContiguousVideoClipDataset(3, lst, 9, False, False, (16, 16), False)
+    with pytest.raises(RuntimeError):
+        ds[1]  # range 2-9 has only 8 frames
+
+
+def test_npy_no_resize_preserves_bgr_values(clips):
+    lst, paths, vid = clips
+    ds = ContiguousVideoClipDataset(3, lst, 10, False, False, (24, 20), False, use_native=False)
+    item = ds[0]
+    # stored RGB -> dataset emits BGR in [-1, 1]
+    want = vid[..., ::-1].astype(np.float32) / 255.0 * 2 - 1
+    np.testing.assert_allclose(item["targets"], want, atol=1e-6)
+
+
+def test_disjoint_dataset(clips):
+    lst, paths, _ = clips
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write(f"{paths[0]} 1-3 8-10\n")
+        dlist = f.name
+    ds = DisjointVideoClipDataset(3, dlist, 3, 3, (16, 16))
+    item = ds[0]
+    assert item["targets"].shape == (6, 16, 16, 3)
+    assert "_1-3_8-10" in item["clip_label"]
+    os.unlink(dlist)
+
+
+def test_batch_iterator_sharding(clips):
+    lst, _, _ = clips
+    ds = ContiguousVideoClipDataset(3, lst, 6, False, False, (16, 16), False)
+    all_items = list(batch_iterator(ds, 1, False, False))
+    assert len(all_items) == 2
+    shard0 = list(batch_iterator(ds, 1, False, False, num_shards=2, shard_index=0))
+    shard1 = list(batch_iterator(ds, 1, False, False, num_shards=2, shard_index=1))
+    assert len(shard0) == 1 and len(shard1) == 1
+    assert shard0[0]["clip_label"] != shard1[0]["clip_label"]
+
+
+def test_native_loader_matches_python_pipeline(clips):
+    from vfi_tpu.data import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native loader unavailable in this environment")
+    lst, paths, _ = clips
+    ds_py = ContiguousVideoClipDataset(1, lst, 8, False, False, (16, 16), False, use_native=False)
+    ds_nat = ContiguousVideoClipDataset(1, lst, 8, False, False, (16, 16), False, use_native=True)
+    # frame-dir clip is index 1; fix randomness by seq_len == range length
+    py = ds_py[1]["targets"]
+    nat = ds_nat[1]["targets"]
+    assert nat.shape == py.shape
+    # resize algorithms differ at the rounding level (~1 uint8 LSB)
+    assert np.abs(nat - py).max() < 0.02
