@@ -66,9 +66,14 @@ def measure_fps(batch, iters, warmup=2):
     # been observed to return early on the experimental axon TPU tunnel.
     for _ in range(warmup):
         np.asarray(fwd(variables, p, f))
+    # Launch all iterations, sync once at the end: device execution is
+    # in-order, so the final transfer completes only after every launch —
+    # this keeps per-iteration tunnel-RPC latency out of the measurement.
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
-        np.asarray(fwd(variables, p, f))
+        out = fwd(variables, p, f)
+    np.asarray(out)
     dt = (time.perf_counter() - t0) / iters
     return batch * T / dt, dt
 
@@ -109,7 +114,7 @@ def main():
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
     fps, dt = measure_fps(batch, iters)
     log(f"bi-TAI B={batch}: {dt * 1000:.1f} ms/batch -> {fps:.1f} middle-frames/sec")
 
