@@ -253,14 +253,19 @@ class SCTEnvironment(L2GDLDiscEnvironment):
     def _g_forward(self, g_params, rng, step, T, p, m, f):
         tf_rng, sample_rng = jax.random.split(rng)
         use_tf = jax.random.uniform(tf_rng) < self.tf_rate(step)
-        free = self.model.apply(
-            {"params": g_params}, T, p, f, rngs={"sample": sample_rng}
-        )
-        forced = self.model.apply(
-            {"params": g_params}, T, p, f, gt_middle=m, method="forward_train",
-            rngs={"sample": sample_rng},
-        )
-        return jax.tree.map(lambda a, b: jnp.where(use_tf, a, b), forced, free)
+
+        # lax.cond: only the chosen branch executes at runtime (the reference
+        # picks eagerly per iteration, environments.py:522-528).
+        def forced(_):
+            return self.model.apply(
+                {"params": g_params}, T, p, f, m, method="forward_train",
+                rngs={"sample": sample_rng},
+            )
+
+        def free(_):
+            return self.model.apply({"params": g_params}, T, p, f, rngs={"sample": sample_rng})
+
+        return jax.lax.cond(use_tf, forced, free, None)
 
 
 def create_training_environment(model, cfg) -> BaseEnvironment:
