@@ -86,8 +86,17 @@ def main(argv=None):
             state, _ = ckpt.load_snapshot(expr_dir, opt.snapshot_file_name, template)
             g_params = state.g_params
 
+    # Multi-chip inference: shard full batches over the data mesh axis
+    # (single-chip and ragged final batches fall back to replication).
+    mesh = None
+    if host_model is None and jax.device_count() > 1:
+        from vfi_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+
     K, T, F = opt.K, opt.T, opt.F
     H, W = opt.image_size
+    n_done = 0
     for batch in batch_iterator(ds, opt.batch_size, False, False):
         targets = batch["targets"]
         preceding = targets[:, :K]
@@ -96,6 +105,11 @@ def main(argv=None):
         if host_model is not None:
             out = host_model(T, preceding, following)
         else:
+            if mesh is not None and len(targets) % mesh.devices.size == 0:
+                from vfi_tpu.parallel.mesh import batch_sharding
+                sh = batch_sharding(mesh)
+                preceding = jax.device_put(preceding, sh)
+                following = jax.device_put(following, sh)
             out = env.forward_test(g_params, T, preceding, following)
             out = jax.device_get(out)
 
