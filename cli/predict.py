@@ -115,11 +115,13 @@ def main(argv=None):
 
         for b, label in enumerate(batch["clip_label"]):
             dest = os.path.join(opt.qual_result_root, label)
-            save_video_frames(to_uint8(preceding[b]), dest, "gt_preceding", 0, H, W)
+            # GT frames come from the host batch (preceding/following may be
+            # device-sharded arrays after device_put).
+            save_video_frames(to_uint8(targets[b, :K]), dest, "gt_preceding", 0, H, W)
             save_video_frames(to_uint8(np.asarray(out["pred"][b])), dest, "pred_middle", K, H, W)
             if not opt.disjoint_clips:
                 save_video_frames(to_uint8(targets[b, K : K + T]), dest, "gt_middle", K, H, W)
-            save_video_frames(to_uint8(following[b]), dest, "gt_following", K + T, H, W)
+            save_video_frames(to_uint8(targets[b, -F:]), dest, "gt_following", K + T, H, W)
             if opt.intermediate_preds:
                 for key, prefix in (
                     ("pred_forward", "pred_middle_forward"),
