@@ -75,7 +75,7 @@ def main(argv=None):
             p, f = sample[:, : opt.K], sample[:, opt.K :]
         else:
             p, f = sample[:, : opt.K], sample[:, opt.K + opt.T :]
-        variables = model.init(jax.random.PRNGKey(0), opt.T, p, f)
+        variables = jax.jit(model.init, static_argnums=1)(jax.random.PRNGKey(0), opt.T, p, f)
         g_params = variables.get("params", {})
         if env.needs_snapshot:
             expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
@@ -85,6 +85,10 @@ def main(argv=None):
             # Snapshots store the full training state; we only need g_params.
             state, _ = ckpt.load_snapshot(expr_dir, opt.snapshot_file_name, template)
             g_params = state.g_params
+        if opt.dtype == "bfloat16":
+            import jax.numpy as jnp
+
+            g_params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), g_params)
 
     # Multi-chip inference: shard full batches over the data mesh axis
     # (single-chip and ragged final batches fall back to replication).
@@ -105,6 +109,11 @@ def main(argv=None):
         if host_model is not None:
             out = host_model(T, preceding, following)
         else:
+            if opt.dtype == "bfloat16":
+                import jax.numpy as jnp
+
+                preceding = jnp.asarray(preceding, jnp.bfloat16)
+                following = jnp.asarray(following, jnp.bfloat16)
             if mesh is not None and len(targets) % mesh.devices.size == 0:
                 from vfi_tpu.parallel.mesh import batch_sharding
                 sh = batch_sharding(mesh)
@@ -131,6 +140,8 @@ def main(argv=None):
                 ):
                     if key in out:
                         save_video_frames(to_uint8(np.asarray(out[key][b])), dest, prefix, K, H, W)
+        n_done += len(batch["clip_label"])
+        print(f"processed {n_done}/{len(ds)} clips", flush=True)
     print("predictions written to", opt.qual_result_root)
 
 

@@ -137,6 +137,9 @@ def build_test_parser() -> ArgFileParser:
     g.add_argument("--qual_result_root", type=str, required=True)
     g = p.add_argument_group("Output parameters")
     g.add_argument("--intermediate_preds", action="store_true")
+    g = p.add_argument_group("TPU parameters")
+    g.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"],
+                   help="Inference dtype (bfloat16 is ~1.3x faster on TPU)")
     return p
 
 
