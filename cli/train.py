@@ -130,6 +130,9 @@ def main(argv=None):
     state = replicate_state(mesh, state)
 
     rng = np.random.RandomState(opt.seed)
+    import random as _random
+
+    _random.seed(opt.seed)  # dataset temporal-crop/flip augmentation RNG
     t_start = time.time()
     while total_updates < opt.max_iter:
         if opt.profile_steps is not None:
