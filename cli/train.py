@@ -71,6 +71,12 @@ def main(argv=None):
         rows = "\n".join(f"{k} | {v}" for k, v in sorted(vars(opt).items()))
         writer.add_text("args", "Key | Value\n--- | ---\n" + rows)
 
+    # Multi-host: initialize the process group when launched under a
+    # multi-process TPU runtime (SURVEY.md §5.8 — the TPU-native replacement
+    # for NCCL/MPI init; XLA collectives ride ICI/DCN from the shardings).
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
     mesh = make_mesh(opt.mesh_shape)
     print(f"devices: {jax.device_count()} mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
@@ -79,8 +85,16 @@ def main(argv=None):
         opt.c_dim, opt.train_video_list_path, seq_len, not opt.no_backwards, not opt.no_flip,
         opt.image_size, True, opt.padding_size, opt.data_root,
     )
-    train_iter = batch_iterator(train_ds, opt.batch_size, not opt.serial_batches, True,
-                                seed=opt.seed, loop=True)
+    from vfi_tpu.data.prefetch import Prefetcher
+
+    train_iter = Prefetcher(
+        batch_iterator(
+            train_ds, opt.batch_size, not opt.serial_batches, True,
+            seed=opt.seed, loop=True,
+            num_shards=jax.process_count(), shard_index=jax.process_index(),
+        ),
+        depth=2,
+    )
     print(f"# training videos = {len(train_ds)}")
 
     def val_loader(path, t_mid, k, f):
