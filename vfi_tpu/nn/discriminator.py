@@ -113,5 +113,7 @@ class SNDiscriminator(nn.Module):
             x = SNConv(self.df_dim * mult, Ip=self.Ip, name=f"conv{i}")(x, train)
             x = nn.leaky_relu(x, 0.2)
         x = x.reshape(B * nw, -1)
-        logits = SNDense(1, Ip=self.Ip, name="head")(x, train)
+        # The reference hardcodes one power iteration for the linear head
+        # regardless of Ip (SNDiscriminator.py:130).
+        logits = SNDense(1, Ip=1, name="head")(x, train)
         return logits.reshape(B, nw)
