@@ -12,7 +12,6 @@ perceptual loss.
 """
 
 import argparse
-import sys
 
 
 def main(argv=None):

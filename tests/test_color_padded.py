@@ -6,7 +6,6 @@ import subprocess
 import sys
 
 import numpy as np
-import pytest
 from PIL import Image
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))

@@ -13,7 +13,6 @@ from vfi_tpu.ops.dynamic import (
     compact_video,
     dynamic_time_weights,
     dynamic_window_labels,
-    masked_mean,
     pack_context,
 )
 from vfi_tpu.train.dynamic_env import DynamicTAIEnvironment

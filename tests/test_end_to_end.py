@@ -1,7 +1,6 @@
 """CPU-runnable end-to-end slice: predict -> PNG dump -> quant pipeline
 (BASELINE.json config 1, at test scale)."""
 
-import json
 import os
 import subprocess
 import sys

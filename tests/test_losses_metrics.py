@@ -1,6 +1,5 @@
 """Losses, discriminator labels, and metric-semantics tests."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

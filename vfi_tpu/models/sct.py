@@ -25,7 +25,7 @@ Random order sampling uses the flax RNG collection ``"sample"`` (pass
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import flax.linen as nn
 import jax

@@ -20,7 +20,6 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ..nn.layers import Conv

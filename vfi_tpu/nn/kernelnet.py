@@ -28,7 +28,6 @@ program (MXU-friendly).
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ..ops.image import upsample2x_bilinear

@@ -7,8 +7,6 @@ models don't need a separate init pass.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

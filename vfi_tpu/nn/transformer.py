@@ -20,7 +20,7 @@ Sequences are [B, T, H, W, C] (NHWC per frame).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import flax.linen as nn
 import jax

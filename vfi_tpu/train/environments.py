@@ -19,7 +19,7 @@ Environment dispatch parity (environments.py:24-52):
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional
 
 import flax.struct
 import jax
@@ -30,7 +30,7 @@ import optax
 from ..nn.discriminator import SNDiscriminator
 from ..ops.image import inverse_transform
 from ..ops.metrics import psnr, quantize_uint8, ssim
-from .losses import bce_with_logits, disc_window_labels, gdl_loss, l1_loss, l2_loss
+from .losses import bce_with_logits, disc_window_labels, gdl_loss, l2_loss
 
 
 class TrainState(flax.struct.PyTreeNode):

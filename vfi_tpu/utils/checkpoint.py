@@ -14,7 +14,7 @@ CLI surface matches the reference.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np
