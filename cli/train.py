@@ -84,6 +84,7 @@ def main(argv=None):
     train_ds = ContiguousVideoClipDataset(
         opt.c_dim, opt.train_video_list_path, seq_len, not opt.no_backwards, not opt.no_flip,
         opt.image_size, True, opt.padding_size, opt.data_root,
+        emit_uint8=opt.device_normalize,
     )
     from vfi_tpu.data.prefetch import Prefetcher
 
@@ -128,8 +129,20 @@ def main(argv=None):
         else:
             env = dyn_env  # superset: adds train_step_dynamic to the static env
 
+    if opt.device_normalize:
+        from vfi_tpu.ops.image import frames_from_uint8
+
+        to_frames = jax.jit(lambda u8: frames_from_uint8(u8, opt.c_dim))
+    else:
+        to_frames = None
+
+    def prep_targets(host_targets):
+        sharded = shard_batch(mesh, {"targets": host_targets})["targets"]
+        return to_frames(sharded) if to_frames is not None else sharded
+
     sample = next(train_iter)
-    state = env.init_state(jax.random.PRNGKey(opt.seed), sample["targets"], opt.K, opt.T, opt.F)
+    sample_targets = np.asarray(jax.device_get(prep_targets(sample["targets"])))
+    state = env.init_state(jax.random.PRNGKey(opt.seed), sample_targets, opt.K, opt.T, opt.F)
     n_params = sum(x.size for x in jax.tree.leaves(state.g_params))
     print(f"# generator params = {n_params/1e6:.2f}M")
 
@@ -160,10 +173,10 @@ def main(argv=None):
         batch = next(train_iter)
         K, T, F = env.sample_ktf(rng, opt.sample_KTF)
         if dyn_env is not None:
-            targets = shard_batch(mesh, {"targets": batch["targets"]})["targets"]
+            targets = prep_targets(batch["targets"])
             state, errors = dyn_env.train_step_dynamic(state, targets, np.asarray([K, T, F]))
         else:
-            targets = shard_batch(mesh, {"targets": batch["targets"][:, : K + T + F]})["targets"]
+            targets = prep_targets(batch["targets"][:, : K + T + F])
             state, errors = env.train_step(state, K, T, F, targets)
         total_updates += 1
 
@@ -178,6 +191,8 @@ def main(argv=None):
                     writer.add_scalar(f"loss/{k}", float(v), total_updates)
                 writer.add_scalar("time_per_item", dt, total_updates)
                 seq = batch["targets"][:, : K + T + F]
+                if opt.device_normalize:
+                    seq = np.asarray(jax.device_get(to_frames(jax.numpy.asarray(seq))))
                 out = env.forward_test(state.g_params, T, seq[:, :K], seq[:, K + T :])
                 vis = {
                     "pred_vis_seq": np.concatenate(

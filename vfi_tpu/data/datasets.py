@@ -106,6 +106,7 @@ class ContiguousVideoClipDataset:
         padding_size: Sequence[int] = (0, 0),
         data_root: str | None = None,
         use_native: bool = True,
+        emit_uint8: bool = False,
     ):
         self.c_dim = c_dim
         self.seq_len = seq_length
@@ -116,6 +117,7 @@ class ContiguousVideoClipDataset:
         self.resample_on_fail = resample_on_fail
         self.data_root = data_root or ""
         self.use_native = use_native
+        self.emit_uint8 = emit_uint8
         with open(video_list_path) as f:
             self.files = [ln.strip() for ln in f if ln.strip()]
 
@@ -140,6 +142,10 @@ class ContiguousVideoClipDataset:
             out.append(img)
         if back_flag:
             out = out[::-1]
+        if self.emit_uint8:
+            # uint8 BGR; normalization/grayscale happen on device
+            # (ops/image.py:frames_from_uint8) — 4x less H2D traffic.
+            return np.stack(out)
         video = np.stack(out).astype(np.float32) / 255.0  # [T, H, W, 3] in [0,1]
         video = video * 2.0 - 1.0
         if self.c_dim == 1:
@@ -155,7 +161,7 @@ class ContiguousVideoClipDataset:
 
         # Fast path: frame-directory sources decode + preprocess in the native
         # C++ loader (thread pool, no GIL) — see native/vfidata.cpp.
-        if getattr(vid, "_frame_paths", None) is not None and self.use_native:
+        if getattr(vid, "_frame_paths", None) is not None and self.use_native and not self.emit_uint8:
             from . import native_loader
 
             if native_loader.available():

@@ -64,6 +64,19 @@ def upsample2x_bilinear(x: jax.Array) -> jax.Array:
     return jax.image.resize(x, (B, 2 * H, 2 * W, C), method="bilinear")
 
 
+def frames_from_uint8(u8_bgr: jax.Array, c_dim: int, dtype=jnp.float32) -> jax.Array:
+    """Device-side normalization: uint8 BGR frames -> [-1,1] float (+ gray).
+
+    Lets the host ship uint8 batches (4x less H2D traffic than f32); the
+    [0,255] -> [-1,1] map and the BGR-luma grayscale conversion run on device.
+    Matches the dataset's host-side pipeline bit-for-bit up to float rounding.
+    """
+    x = u8_bgr.astype(dtype) / 255.0
+    if c_dim == 1:
+        x = bgr_to_gray(x)
+    return x * 2.0 - 1.0
+
+
 def time_weights(T: int, dtype=jnp.float32) -> jax.Array:
     """The reference's per-middle-frame blend weights: linspace(0,1,T+2)[1:-1].
 

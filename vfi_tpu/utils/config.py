@@ -121,6 +121,9 @@ def build_train_parser() -> ArgFileParser:
     g.add_argument("--profile_steps", type=int, nargs=2, default=None, metavar=("START", "STOP"),
                    help="Capture a jax.profiler trace between these iterations")
     g.add_argument("--profile_dir", type=str, default="/tmp/vfi_tpu_trace")
+    g.add_argument("--device_normalize", action="store_true",
+                   help="Ship uint8 batches to the device and normalize there "
+                        "(4x less host->device traffic)")
 
     return p
 
