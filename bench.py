@@ -113,7 +113,7 @@ def main():
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     fps, dt = measure_fps(batch, iters)
     log(f"bi-TAI B={batch}: {dt * 1000:.1f} ms/batch -> {fps:.1f} middle-frames/sec")
