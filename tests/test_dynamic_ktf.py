@@ -114,3 +114,25 @@ def test_dynamic_train_step_matches_static_losses():
     )
     assert np.isfinite(float(m2["G_loss"]))
     assert env_dyn.train_step_dynamic._cache_size() == 1
+
+
+def test_dynamic_slomo_matches_static_losses():
+    from vfi_tpu.models.slomo import SloMoFillInModel
+    from vfi_tpu.train.dynamic_env import create_dynamic_environment
+
+    model = SloMoFillInModel(base_dim=4, c_dim=1)
+    cfg = TrainConfig(K=MAX_K, T=MAX_T, F=MAX_F, lr=1e-4)
+    env_dyn = create_dynamic_environment(model, cfg)
+    env_static = create_training_environment(model, cfg)
+
+    targets = _targets()
+    K, T, F = 2, 2, 2
+    state_d = env_dyn.init_state(jax.random.PRNGKey(0), targets, MAX_K, MAX_T, MAX_F)
+    state_s = env_static.init_state(jax.random.PRNGKey(0), targets, MAX_K, MAX_T, MAX_F)
+
+    _, m_dyn = env_dyn.train_step_dynamic(state_d, jnp.asarray(targets), jnp.asarray([K, T, F]))
+    _, m_static = env_static.train_step(state_s, K, T, F, targets[:, : K + T + F])
+    for key in ("reconstruction_loss", "warping_loss", "smooth_loss", "G_loss"):
+        np.testing.assert_allclose(
+            float(m_dyn[key]), float(m_static[key]), rtol=2e-4, atol=1e-5, err_msg=key
+        )

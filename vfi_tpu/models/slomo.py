@@ -71,7 +71,11 @@ class SloMoFillInModel(nn.Module):
     c_dim: int = 3
 
     @nn.compact
-    def __call__(self, T: int, preceding, following) -> Dict[str, Any]:
+    def __call__(self, T: int, preceding, following, lengths=None) -> Dict[str, Any]:
+        """``lengths``: optional traced (K, T_real, F) for the dynamic path —
+        SloMo only reads the last preceding / first following frame, which the
+        padded layout keeps at fixed positions, so only the per-t time values
+        change (frames at t >= T_real are garbage and masked by the caller)."""
         c = self.c_dim
         I0 = preceding[:, -1]
         I1 = following[:, 0]
@@ -84,7 +88,13 @@ class SloMoFillInModel(nn.Module):
         F_1_0 = flows[..., 2:]
 
         # Per-t flow synthesis, vectorized over t (t folded into batch).
-        t = time_weights(T, I0.dtype)[:, None, None, None, None]  # [T,1,1,1,1]
+        if lengths is None:
+            t = time_weights(T, I0.dtype)
+        else:
+            from ..ops.dynamic import dynamic_time_weights
+
+            t = dynamic_time_weights(lengths[1], T, I0.dtype)
+        t = t[:, None, None, None, None]  # [T,1,1,1,1]
         F01 = F_0_1[None]
         F10 = F_1_0[None]
         F_t_0 = -(1 - t) * t * F01 + t**2 * F10  # [T, B, H, W, 2]

@@ -148,6 +148,78 @@ class DynamicTAIEnvironment(DynamicKTFMixin, TAIEnvironment):
     use_intermediate_losses = True
 
 
+class DynamicSloMoEnvironment:
+    """Mixin-free dynamic SloMo step (no discriminator)."""
+
+    def __init__(self, model, cfg):
+        from .slomo_env import SloMoEnvironment
+
+        self._base = SloMoEnvironment(model, cfg)
+        self.model = model
+        self.cfg = cfg
+
+    def __getattr__(self, name):
+        return getattr(self._base, name)
+
+    def _g_loss_dyn(self, g_params, K, T, F, targets):
+        import jax.numpy as jnp
+
+        from ..ops.image import inverse_transform
+        from ..ops.warp import flow_warp
+
+        c = self.cfg
+        p, m, f = pack_context(targets, K, T, F, c.K, c.T, c.F)
+        out = self.model.apply({"params": g_params}, c.T, p, f, lengths=(K, T, F))
+        tmask5 = middle_mask(T, c.T)[None, :, None, None, None]
+
+        pred = out["pred"]
+        terms = {"reconstruction_loss": masked_mean(jnp.abs(pred - m), tmask5)}
+        perc = self._base._perceptual(pred, m)
+        terms["perceptual_loss"] = perc if perc is not None else jnp.zeros(())
+
+        I0, I1 = p[:, -1], f[:, 0]
+        B = pred.shape[0]
+        Ft0, Ft1 = out["F_t_0_collector"], out["F_t_1_collector"]
+
+        def fold(a):
+            return a.reshape(B * c.T, *a.shape[2:])
+
+        I0r = fold(jnp.broadcast_to(I0[:, None], (B, c.T, *I0.shape[1:])))
+        I1r = fold(jnp.broadcast_to(I1[:, None], (B, c.T, *I1.shape[1:])))
+        w0 = flow_warp(I0r, fold(Ft0)).reshape(B, c.T, *I0.shape[1:])
+        w1 = flow_warp(I1r, fold(Ft1)).reshape(B, c.T, *I1.shape[1:])
+        per_t = masked_mean(jnp.abs(w0 - m), tmask5) + masked_mean(jnp.abs(w1 - m), tmask5)
+        terms["warping_loss"] = (
+            jnp.mean(jnp.abs(flow_warp(I0, out["F_1_0"]) - I1))
+            + jnp.mean(jnp.abs(flow_warp(I1, out["F_0_1"]) - I0))
+            + per_t
+        )
+        from .losses import gdl_loss
+
+        zero = jnp.zeros_like(out["F_0_1"])
+        terms["smooth_loss"] = gdl_loss(out["F_1_0"], zero) + gdl_loss(out["F_0_1"], zero)
+
+        loss = (
+            c.lambda_r * terms["reconstruction_loss"]
+            + c.lambda_p * terms["perceptual_loss"]
+            + c.lambda_w * terms["warping_loss"]
+            + c.lambda_s * terms["smooth_loss"]
+        )
+        terms["G_loss"] = loss
+        return loss, terms
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+    def train_step_dynamic(self, state, targets, ktf):
+        K, T, F = ktf[0], ktf[1], ktf[2]
+        rng, _ = jax.random.split(state.rng)
+        (loss, terms), grads = jax.value_and_grad(self._g_loss_dyn, has_aux=True)(
+            state.g_params, K, T, F, targets
+        )
+        updates, g_opt = self._base.g_tx().update(grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+        return state.replace(step=state.step + 1, g_params=g_params, g_opt=g_opt, rng=rng), terms
+
+
 def create_dynamic_environment(model, cfg):
     """Dynamic-(K,T,F) counterpart of create_training_environment.
 
@@ -172,4 +244,11 @@ def create_dynamic_environment(model, cfg):
         return DynamicTAIEnvironment(model, cfg)
     if isinstance(model, MCNetFillInModel):
         return DynamicMCNetEnvironment(model, cfg)
+    try:
+        from ..models.slomo import SloMoFillInModel
+
+        if isinstance(model, SloMoFillInModel):
+            return DynamicSloMoEnvironment(model, cfg)
+    except ImportError:
+        pass
     return None
