@@ -49,7 +49,8 @@ class SpectralNorm(nn.Module):
         sigma = u @ w_mat @ v
         if train and not self.is_initializing():
             u_var.value = jax.lax.stop_gradient(u)
-        return w / jax.lax.stop_gradient(sigma)
+        # keep the weight's compute dtype (power iteration runs f32)
+        return w / jax.lax.stop_gradient(sigma).astype(w.dtype)
 
 
 class SNConv(nn.Module):

@@ -130,9 +130,23 @@ class L2GDLDiscEnvironment(BaseEnvironment):
     def _extra_recon_terms(self, out, gt_middle) -> Dict[str, jax.Array]:
         return {}
 
+    def _compute_cast(self, tree):
+        """Mixed precision: cast params/inputs to bf16 for compute when
+        cfg.train_dtype == 'bfloat16' (master params/optimizer stay f32;
+        gradients flow back through the cast as f32)."""
+        if getattr(self.cfg, "train_dtype", "float32") != "bfloat16":
+            return tree
+        return jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            tree,
+        )
+
     def _g_loss(self, g_params, d_params, d_sn, rng, step, K, T, F, targets):
         p, m, f = split_batch(targets, K, T, F)
+        g_params = self._compute_cast(g_params)
+        p, f = self._compute_cast((p, f))
         out = self._g_forward(g_params, rng, step, T, p, m, f)
+        out = jax.tree.map(lambda a: a.astype(jnp.float32), out)
         terms = self._recon_terms(out, m)
         extra = self._extra_recon_terms(out, m)
 
@@ -153,7 +167,9 @@ class L2GDLDiscEnvironment(BaseEnvironment):
 
     # -- discriminator loss --------------------------------------------------
     def _d_loss(self, d_params, d_sn, pred, K, T, F, targets):
+        d_params = self._compute_cast(d_params)
         p, m, f = split_batch(targets, K, T, F)
+        p, m, f, pred = self._compute_cast((p, m, f, pred))
         fake_video = jnp.concatenate([p, jax.lax.stop_gradient(pred), f], axis=1)
         real_video = jnp.concatenate([p, m, f], axis=1)
 

@@ -124,6 +124,8 @@ def build_train_parser() -> ArgFileParser:
     g.add_argument("--device_normalize", action="store_true",
                    help="Ship uint8 batches to the device and normalize there "
                         "(4x less host->device traffic)")
+    g.add_argument("--train_dtype", type=str, default="float32", choices=["float32", "bfloat16"],
+                   help="Mixed-precision training: f32 params/optimizer, bf16 forward/backward")
 
     return p
 
@@ -193,6 +195,7 @@ class TrainConfig:
     lr_decay_count: int = 40000
     lr_decay_rate: float = 0.1
     vgg16_weights: Optional[str] = None
+    train_dtype: str = "float32"  # "bfloat16" -> mixed precision (f32 params/opt, bf16 compute)
 
     @classmethod
     def from_opt(cls, opt) -> "TrainConfig":
