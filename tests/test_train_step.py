@@ -73,3 +73,21 @@ def test_mcnet_env_and_ktf_sampling():
         k, t, f = env.sample_ktf(rng, True)
         assert 2 <= k <= 3 and 1 <= t <= 2 and 1 <= f <= 2
     assert env.sample_ktf(rng, False) == (3, 2, 2)
+
+
+def test_mixed_precision_training_matches_f32_closely():
+    """--train_dtype bfloat16: f32 master params, bf16 compute; losses and
+    gradients must track the f32 path closely."""
+    batch = _batch(1)
+    metrics = {}
+    for dt in ("float32", "bfloat16"):
+        model = TAIFillInModel(gf_dim=8, c_dim=1, ks=5, num_block=5, kf_dim=4)
+        cfg = TrainConfig(K=K, T=T, F=F, df_dim=8, Ip=1, disc_window_size=3, train_dtype=dt)
+        env = create_training_environment(model, cfg)
+        state = env.init_state(jax.random.PRNGKey(0), batch, K, T, F)
+        state, m = env.train_step(state, K, T, F, batch)
+        assert jax.tree.leaves(state.g_params)[0].dtype == jnp.float32
+        metrics[dt] = {k: float(v) for k, v in m.items()}
+    for key in ("G_loss", "G_Lp", "D_fake", "D_real"):
+        a, b = metrics["float32"][key], metrics["bfloat16"][key]
+        assert abs(a - b) < 0.02 * max(abs(a), 1e-3), (key, a, b)
