@@ -95,3 +95,16 @@ def test_quantize_matches_png_roundtrip():
     want = np.round(np.clip((np.asarray(frames) + 1) / 2, 0, 1) * 255)
     np.testing.assert_array_equal(q, want)
     assert q.min() >= 0 and q.max() <= 255
+
+
+def test_psnr_cross_validates_against_opencv():
+    """Independent implementation check: cv2.PSNR on the same uint8 images."""
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(0)
+    a = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    b = np.clip(a.astype(int) + np.random.RandomState(1).randint(-20, 20, (64, 64, 3)), 0, 255).astype(np.uint8)
+    want = cv2.PSNR(a, b)
+    got = float(psnr(jnp.asarray(b, jnp.float32), jnp.asarray(a, jnp.float32)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
