@@ -43,12 +43,15 @@ def make_writer(log_dir):
         return None
 
 
-def compute_errors(env, state, loader, K, T, F):
+def compute_errors(env, state, loader, K, T, F, mesh=None):
     """Validation sweep: batched on-device PSNR/SSIM/L2 curves
-    (replaces train.py:237-287)."""
+    (replaces train.py:237-287); full batches shard over the data mesh."""
     psnrs, ssims, l2s = [], [], []
     for batch in loader:
-        m = env.eval_metrics(state.g_params, K, T, F, batch["targets"])
+        targets = batch["targets"]
+        if mesh is not None and mesh.devices.size > 1 and len(targets) % mesh.devices.size == 0:
+            targets = shard_batch(mesh, {"targets": targets})["targets"]
+        m = env.eval_metrics(state.g_params, K, T, F, targets)
         psnrs.append(np.asarray(m["psnr"]))
         ssims.append(np.asarray(m["ssim"]))
         l2s.append(np.asarray(m["l2"]))
@@ -217,7 +220,7 @@ def main(argv=None):
                 if ds is None:
                     continue
                 loader = batch_iterator(ds, opt.batch_size, False, False)
-                psnr_c, ssim_c, _ = compute_errors(env, state, loader, k, t_mid, f)
+                psnr_c, ssim_c, _ = compute_errors(env, state, loader, k, t_mid, f, mesh)
                 if writer:
                     writer.add_scalar(f"{tag}/avg_psnr", float(psnr_c.mean()), total_updates)
                     writer.add_scalar(f"{tag}/avg_ssim", float(ssim_c.mean()), total_updates)
