@@ -116,6 +116,8 @@ def main(argv=None):
     }
 
     model = create_model(opt.model_key)
+    if opt.remat and hasattr(model, "remat"):
+        model = model.clone(remat=True)
     cfg = TrainConfig.from_opt(opt)
     env = create_training_environment(model, cfg)
 

@@ -60,9 +60,11 @@ class BidirectionalMCNetModel(nn.Module):
     c_dim: int
     feature_size: int = 3
     forget_bias: float = 1.0
+    remat: bool = False  # gradient-checkpoint rollout submodules (memory/compute trade)
 
     def setup(self):
-        self.mcnet = MCNet(self.gf_dim, self.c_dim, self.feature_size, self.forget_bias)
+        self.mcnet = MCNet(self.gf_dim, self.c_dim, self.feature_size, self.forget_bias,
+                           remat=self.remat)
 
     def bidirectional_rollout(self, T, preceding, following, lengths=None) -> tuple[RolloutStep, RolloutStep]:
         """Run both MC-Net streams.
@@ -233,9 +235,11 @@ class MCNetFillInModel(nn.Module):
     c_dim: int
     feature_size: int = 3
     forget_bias: float = 1.0
+    remat: bool = False
 
     def setup(self):
-        self.mcnet = MCNet(self.gf_dim, self.c_dim, self.feature_size, self.forget_bias)
+        self.mcnet = MCNet(self.gf_dim, self.c_dim, self.feature_size, self.forget_bias,
+                           remat=self.remat)
 
     def __call__(self, T: int, preceding, following, lengths=None) -> Dict[str, Any]:
         del following

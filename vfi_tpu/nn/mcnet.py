@@ -124,16 +124,22 @@ class MCNet(nn.Module):
     c_dim: int
     lstm_kernel: int = 3
     forget_bias: float = 1.0
+    remat: bool = False  # gradient-checkpoint the per-step submodules
+                         # (trade ~33% recompute for O(T) -> O(1) rollout
+                         # activation memory; enables larger batches/res)
 
     def setup(self):
-        self.motion_enc = MotionEnc(self.gf_dim)
-        self.content_enc = ContentEnc(self.c_dim)
+        def maybe_remat(cls):
+            return nn.remat(cls) if self.remat else cls
+
+        self.motion_enc = maybe_remat(MotionEnc)(self.gf_dim)
+        self.content_enc = maybe_remat(ContentEnc)(self.gf_dim)
         self.conv_lstm = ConvLSTMCell(4 * self.gf_dim, self.lstm_kernel, self.forget_bias)
-        self.comb_layers = CombLayers(self.gf_dim)
-        self.residual1 = Residual(self.gf_dim)
-        self.residual2 = Residual(self.gf_dim * 2)
-        self.residual3 = Residual(self.gf_dim * 4)
-        self.dec_cnn = DecCnn(self.c_dim, self.gf_dim)
+        self.comb_layers = maybe_remat(CombLayers)(self.gf_dim)
+        self.residual1 = maybe_remat(Residual)(self.gf_dim)
+        self.residual2 = maybe_remat(Residual)(self.gf_dim * 2)
+        self.residual3 = maybe_remat(Residual)(self.gf_dim * 4)
+        self.dec_cnn = maybe_remat(DecCnn)(self.c_dim, self.gf_dim)
 
     def __call__(
         self,

@@ -126,6 +126,9 @@ def build_train_parser() -> ArgFileParser:
                         "(4x less host->device traffic)")
     g.add_argument("--train_dtype", type=str, default="float32", choices=["float32", "bfloat16"],
                    help="Mixed-precision training: f32 params/optimizer, bf16 forward/backward")
+    g.add_argument("--remat", action="store_true",
+                   help="Gradient-checkpoint the MC-Net rollout submodules "
+                        "(~33%% recompute for O(1) rollout activation memory)")
 
     return p
 
