@@ -113,7 +113,8 @@ def test_dynamic_train_step_matches_static_losses():
         jnp.asarray([3, 1, 2]),
     )
     assert np.isfinite(float(m2["G_loss"]))
-    assert env_dyn.train_step_dynamic._cache_size() == 1
+    assert env_dyn._g_update_dyn._cache_size() == 1
+    assert env_dyn._d_update_dyn._cache_size() == 1
 
 
 def test_dynamic_slomo_matches_static_losses():

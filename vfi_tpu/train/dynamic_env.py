@@ -100,37 +100,52 @@ class DynamicKTFMixin:
         loss_real = _masked_bce(logits_real, jnp.ones_like(logits_real), valid[None])
         return loss_fake + loss_real, (mut["sn"], {"D_fake": loss_fake, "D_real": loss_real})
 
+    # Split into two XLA programs for the same scheduler-memory reason as the
+    # static step (see environments.py train_step comment).
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+    def _g_update_dyn(self, gstate, d_frozen, targets, ktf):
+        K, T, F = ktf[0], ktf[1], ktf[2]
+        g_params, g_opt, rng, step = gstate
+        d_params, d_sn = d_frozen
+        rng, _ = jax.random.split(rng)
+        (loss, (out, p, m, f, terms)), g_grads = jax.value_and_grad(self._g_loss_dyn, has_aux=True)(
+            g_params, d_params, d_sn, K, T, F, targets
+        )
+        g_updates, g_opt = self.g_tx().update(g_grads, g_opt, g_params)
+        g_params = optax.apply_updates(g_params, g_updates)
+        return (g_params, g_opt, rng, step + 1), (out["pred"], p, m, f), terms
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+    def _d_update_dyn(self, dstate, packed, ktf):
+        K, T, F = ktf[0], ktf[1], ktf[2]
+        d_params, d_sn, d_opt = dstate
+        pred, p, m, f = packed
+        (d_loss, (d_sn, d_terms)), d_grads = jax.value_and_grad(self._d_loss_dyn, has_aux=True)(
+            d_params, d_sn, pred, p, m, f, K, T, F
+        )
+        d_updates, d_opt = self.d_tx().update(d_grads, d_opt, d_params)
+        d_params = optax.apply_updates(d_params, d_updates)
+        return (d_params, d_sn, d_opt), d_terms
+
     def train_step_dynamic(self, state: TrainState, targets, ktf):
         """One G + D update at traced lengths ``ktf = [K, T, F]``.
 
         ``targets``: [B, max_K + max_T + max_F, H, W, C] — the max-length clip;
         the sampled prefix K+T+F is used (train.py:111-115 semantics).
         """
-        K, T, F = ktf[0], ktf[1], ktf[2]
-        rng, _ = jax.random.split(state.rng)
-        (loss, (out, p, m, f, terms)), g_grads = jax.value_and_grad(self._g_loss_dyn, has_aux=True)(
-            state.g_params, state.d_params, state.d_sn, K, T, F, targets
+        gstate, packed, terms = self._g_update_dyn(
+            (state.g_params, state.g_opt, state.rng, state.step),
+            (state.d_params, state.d_sn),
+            targets, ktf,
         )
-        g_updates, g_opt = self.g_tx().update(g_grads, state.g_opt, state.g_params)
-        g_params = optax.apply_updates(state.g_params, g_updates)
-
-        (d_loss, (d_sn, d_terms)), d_grads = jax.value_and_grad(self._d_loss_dyn, has_aux=True)(
-            state.d_params, state.d_sn, out["pred"], p, m, f, K, T, F
+        dstate, d_terms = self._d_update_dyn(
+            (state.d_params, state.d_sn, state.d_opt), packed, ktf
         )
-        d_updates, d_opt = self.d_tx().update(d_grads, state.d_opt, state.d_params)
-        d_params = optax.apply_updates(state.d_params, d_updates)
-
         terms.update(d_terms)
         return (
             state.replace(
-                step=state.step + 1,
-                g_params=g_params,
-                g_opt=g_opt,
-                d_params=d_params,
-                d_sn=d_sn,
-                d_opt=d_opt,
-                rng=rng,
+                step=gstate[3], g_params=gstate[0], g_opt=gstate[1], rng=gstate[2],
+                d_params=dstate[0], d_sn=dstate[1], d_opt=dstate[2],
             ),
             terms,
         )
