@@ -63,3 +63,24 @@ def test_graft_entry_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_graft_entry_dryrun_multichip_self_hosts():
+    """The driver calls dryrun_multichip WITHOUT conftest's pre-forced CPU mesh
+    (round-1 failure mode: the axon plugin exposes one TPU and make_mesh dies).
+    Simulate that: a child process with no JAX_PLATFORMS / device-count flags
+    must still pass by re-exec'ing itself with a forced CPU mesh."""
+    import subprocess
+
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    res = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__; __graft_entry__.dryrun_multichip(4)"],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "dryrun_multichip(4)" in res.stdout and "ok" in res.stdout
