@@ -1,0 +1,426 @@
+"""PyTorch oracle for the checkpoint importer tests.
+
+An independent, modern-torch re-implementation of the reference MC-Net /
+bi-TAI FORWARD SEMANTICS (behavioral refs: src/models/mcnet/mcnet.py,
+src/models/tai/tai.py).  Module attribute names and Sequential indices are
+chosen so that ``state_dict()`` has exactly the key layout of a real
+reference checkpoint — that interchangeability is the point: the importer
+tests feed a randomly-initialized mirror state_dict through
+``vfi_tpu.utils.torch_import`` and assert that the flax forward reproduces
+this torch forward.  CPU-only; the reference's CUDA sepconv is replaced by an
+unfold-based einsum implementing the same accumulation
+(SeparableConvolution_kernel.cu:40-44).
+
+Torch-0.3 semantics notes baked in:
+  * ``nn.Upsample(mode='bilinear')`` in 0.3 had corner-aligned sampling ->
+    ``align_corners=True`` here.
+  * All tensors NCHW, videos [B,T,C,H,W] in [-1,1], BGR channel order.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as TF
+
+
+def inverse_transform(x):
+    return (x + 1.0) / 2.0
+
+
+def bgr2gray(x):
+    # BGR-ordered luma weights (src/util/util.py:30-41); x: [B, 3, H, W]
+    return (0.1140 * x[:, 0] + 0.5870 * x[:, 1] + 0.2989 * x[:, 2]).unsqueeze(1)
+
+
+def bgr2gray_batched(x):
+    # x: [B, T, 3, H, W]
+    return (0.1140 * x[:, :, 0] + 0.5870 * x[:, :, 1] + 0.2989 * x[:, :, 2]).unsqueeze(2)
+
+
+def sepconv(x_pad, v, h, ks):
+    """out[b,c,y,x] = sum_{fy,fx} x_pad[b,c,y+fy,x+fx] * v[b,fy,y,x] * h[b,fx,y,x]."""
+    B, C, Hp, Wp = x_pad.shape
+    H, W = Hp - ks + 1, Wp - ks + 1
+    patches = TF.unfold(x_pad, ks).view(B, C, ks, ks, H, W)
+    return torch.einsum("bcijyx,biyx,bjyx->bcyx", patches, v, h)
+
+
+class MotionEnc(nn.Module):
+    def __init__(self, gf):
+        super().__init__()
+        self.dyn_conv1 = nn.Sequential(nn.Conv2d(1, gf, 5, padding=2), nn.ReLU())
+        self.dyn_conv2 = nn.Sequential(nn.MaxPool2d(2), nn.Conv2d(gf, gf * 2, 5, padding=2), nn.ReLU())
+        self.dyn_conv3 = nn.Sequential(nn.MaxPool2d(2), nn.Conv2d(gf * 2, gf * 4, 7, padding=3), nn.ReLU())
+        self.pool3 = nn.MaxPool2d(2)
+
+    def forward(self, diff):
+        r1 = self.dyn_conv1(diff)
+        r2 = self.dyn_conv2(r1)
+        r3 = self.dyn_conv3(r2)
+        return self.pool3(r3), [r1, r2, r3]
+
+
+class ContentEnc(nn.Module):
+    def __init__(self, c_dim, gf):
+        super().__init__()
+        self.cont_conv1 = nn.Sequential(
+            nn.Conv2d(c_dim, gf, 3, padding=1), nn.ReLU(), nn.Conv2d(gf, gf, 3, padding=1), nn.ReLU()
+        )
+        self.cont_conv2 = nn.Sequential(
+            nn.MaxPool2d(2),
+            nn.Conv2d(gf, gf * 2, 3, padding=1), nn.ReLU(),
+            nn.Conv2d(gf * 2, gf * 2, 3, padding=1), nn.ReLU(),
+        )
+        self.cont_conv3 = nn.Sequential(
+            nn.MaxPool2d(2),
+            nn.Conv2d(gf * 2, gf * 4, 3, padding=1), nn.ReLU(),
+            nn.Conv2d(gf * 4, gf * 4, 3, padding=1), nn.ReLU(),
+            nn.Conv2d(gf * 4, gf * 4, 3, padding=1), nn.ReLU(),
+        )
+        self.pool3 = nn.MaxPool2d(2)
+
+    def forward(self, raw):
+        r1 = self.cont_conv1(raw)
+        r2 = self.cont_conv2(r1)
+        r3 = self.cont_conv3(r2)
+        return self.pool3(r3), [r1, r2, r3]
+
+
+class CombLayers(nn.Module):
+    def __init__(self, gf):
+        super().__init__()
+        self.h_comb = nn.Sequential(
+            nn.Conv2d(gf * 8, gf * 4, 3, padding=1), nn.ReLU(),
+            nn.Conv2d(gf * 4, gf * 2, 3, padding=1), nn.ReLU(),
+            nn.Conv2d(gf * 2, gf * 4, 3, padding=1), nn.ReLU(),
+        )
+
+    def forward(self, h_dyn, h_cont):
+        return self.h_comb(torch.cat((h_dyn, h_cont), dim=1))
+
+
+class Residual(nn.Module):
+    def __init__(self, in_dim, out_dim):
+        super().__init__()
+        self.res = nn.Sequential(
+            nn.Conv2d(in_dim, out_dim, 3, padding=1), nn.ReLU(), nn.Conv2d(out_dim, out_dim, 3, padding=1)
+        )
+
+    def forward(self, a, b):
+        return self.res(torch.cat((a, b), dim=1))
+
+
+def fixed_unpooling(x):
+    B, C, H, W = x.shape
+    out = x.new_zeros(B, C, 2 * H, 2 * W)
+    out[:, :, ::2, ::2] = x
+    return out
+
+
+class DecCnn(nn.Module):
+    def __init__(self, c_dim, gf):
+        super().__init__()
+        self.dec3 = nn.Sequential(
+            nn.ConvTranspose2d(gf * 4, gf * 4, 3, padding=1), nn.ReLU(),
+            nn.ConvTranspose2d(gf * 4, gf * 4, 3, padding=1), nn.ReLU(),
+            nn.ConvTranspose2d(gf * 4, gf * 2, 3, padding=1), nn.ReLU(),
+        )
+        self.dec2 = nn.Sequential(
+            nn.ConvTranspose2d(gf * 2, gf * 2, 3, padding=1), nn.ReLU(),
+            nn.ConvTranspose2d(gf * 2, gf, 3, padding=1), nn.ReLU(),
+        )
+        self.dec1 = nn.Sequential(
+            nn.ConvTranspose2d(gf, gf, 3, padding=1), nn.ReLU(),
+            nn.ConvTranspose2d(gf, c_dim, 3, padding=1), nn.Tanh(),
+        )
+
+    def forward(self, comb, res1, res2, res3):
+        x = self.dec3(fixed_unpooling(comb) + res3)
+        x = self.dec2(fixed_unpooling(x) + res2)
+        return self.dec1(fixed_unpooling(x) + res1)
+
+
+class ConvLstmCell(nn.Module):
+    def __init__(self, feature_size, num_features, forget_bias=1.0):
+        super().__init__()
+        self.num_features = num_features
+        self.forget_bias = forget_bias
+        self.conv = nn.Conv2d(num_features * 2, num_features * 4, feature_size, padding=(feature_size - 1) // 2)
+
+    def forward(self, x, state):
+        c, h = torch.chunk(state, 2, dim=1)
+        i, j, f, o = torch.chunk(self.conv(torch.cat((x, h), dim=1)), 4, dim=1)
+        new_c = c * torch.sigmoid(f + self.forget_bias) + torch.sigmoid(i) * torch.tanh(j)
+        new_h = torch.tanh(new_c) * torch.sigmoid(o)
+        return new_h, torch.cat((new_c, new_h), dim=1)
+
+
+class MCNet(nn.Module):
+    """Warm-up over K-1 difference frames, then T-step autoregressive rollout
+    (reference mcnet.py:391-453)."""
+
+    def __init__(self, gf_dim, c_dim, feature_size):
+        super().__init__()
+        self.c_dim = c_dim
+        self.gf_dim = gf_dim
+        self.motion_enc = MotionEnc(gf_dim)
+        self.conv_lstm_cell = ConvLstmCell(feature_size, 4 * gf_dim)
+        self.content_enc = ContentEnc(c_dim, gf_dim)
+        self.comb_layers = CombLayers(gf_dim)
+        self.residual3 = Residual(gf_dim * 8, gf_dim * 4)
+        self.residual2 = Residual(gf_dim * 4, gf_dim * 2)
+        self.residual1 = Residual(gf_dim * 2, gf_dim * 1)
+        self.dec_cnn = DecCnn(c_dim, gf_dim)
+
+    def forward(self, K, T, diff_in, xt):
+        B, _, _, H, W = diff_in.shape
+        diff_in = [diff_in[:, t] for t in range(diff_in.shape[1])]
+        state = torch.zeros(B, 8 * self.gf_dim, H // 8, W // 8)
+
+        h_dyn = res_m = None
+        for t in range(K - 1):
+            enc_h, res_m = self.motion_enc(diff_in[t])
+            h_dyn, state = self.conv_lstm_cell(enc_h, state)
+
+        pred, dyn, cont, res = [], [], [], []
+        for t in range(T):
+            if t > 0:
+                enc_h, res_m = self.motion_enc(diff_in[-1])
+                h_dyn, state = self.conv_lstm_cell(enc_h, state)
+            h_cont, res_c = self.content_enc(xt)
+            h_tpl = self.comb_layers(h_dyn, h_cont)
+            dyn.append(h_dyn)
+            cont.append(h_cont)
+            r1 = self.residual1(res_m[0], res_c[0])
+            r2 = self.residual2(res_m[1], res_c[1])
+            r3 = self.residual3(res_m[2], res_c[2])
+            res.append([r1, r2, r3])
+            x_hat = self.dec_cnn(h_tpl, r1, r2, r3)
+            if self.c_dim == 3:
+                x_hat_gray = bgr2gray(inverse_transform(x_hat))
+                xt_gray = bgr2gray(inverse_transform(xt))
+            else:
+                x_hat_gray = inverse_transform(x_hat)
+                xt_gray = inverse_transform(xt)
+            diff_in.append(x_hat_gray - xt_gray)
+            xt = x_hat
+            pred.append(x_hat)
+        return pred, dyn, cont, res
+
+
+def _conv_block(num_layers, c_in, c_out):
+    seq = []
+    for i in range(num_layers):
+        seq += [nn.Conv2d(c_in if i == 0 else c_out, c_out, 3, padding=1), nn.ReLU()]
+    return nn.Sequential(*seq)
+
+
+def _kernel_head(num_layers, kf_dim, ks):
+    seq = []
+    for i in range(num_layers):
+        c_out = ks if i == num_layers - 1 else kf_dim * 2
+        seq += [nn.Conv2d(kf_dim * 2, c_out, 3, padding=1), nn.ReLU()]
+    seq += [nn.Upsample(scale_factor=2, mode="bilinear", align_corners=True), nn.Conv2d(ks, ks, 3, padding=1)]
+    return nn.Sequential(*seq)
+
+
+class TAI(nn.Module):
+    """The interpolation U-Net + 4 kernel heads (reference tai.py:123-241)."""
+
+    def __init__(self, gf_dim, ks, num_block, layers, kf_dim, rc_loc=4):
+        super().__init__()
+        self.ks, self.num_block, self.rc_loc = ks, num_block, rc_loc
+        conv, pool = [], []
+        for i in range(3, num_block):
+            c_in = gf_dim * 8 * 2 if i == 3 else kf_dim * (2 ** (i - 1))
+            conv.append(_conv_block(layers, c_in, kf_dim * (2**i)))
+            pool.append(nn.AvgPool2d(2, 2))
+        self.moduleConv = nn.ModuleList(conv)
+        self.modulePool = nn.ModuleList(pool)
+
+        deconv, upsample = [], []
+        nd = num_block - 1
+        for i in range(nd):
+            eff_in, eff_out = 2 ** (nd - i + 1), 2 ** (nd - i)
+            c_in = kf_dim * (eff_out if i == 0 else eff_in)
+            c_out = kf_dim * eff_out
+            deconv.append(_conv_block(layers, c_in, c_out))
+            up_in = c_out + 1 if i == rc_loc - 1 else c_out
+            upsample.append(
+                nn.Sequential(
+                    nn.Upsample(scale_factor=2, mode="bilinear", align_corners=True),
+                    nn.Conv2d(up_in, c_out, 3, padding=1),
+                    nn.ReLU(),
+                )
+            )
+        self.moduleDeconv = nn.ModuleList(deconv)
+        self.moduleUpsample = nn.ModuleList(upsample)
+
+        self.moduleVertical1 = _kernel_head(layers, kf_dim, ks)
+        self.moduleVertical2 = _kernel_head(layers, kf_dim, ks)
+        self.moduleHorizontal1 = _kernel_head(layers, kf_dim, ks)
+        self.moduleHorizontal2 = _kernel_head(layers, kf_dim, ks)
+        pad = int(math.floor(ks / 2.0))
+        self.modulePad = nn.ReplicationPad2d([pad, pad, pad, pad])
+
+    def forward(self, in1, in2, dyn1, dyn2, cont1, cont2, res_list, ratio=0.0):
+        x = torch.cat([dyn1, dyn2, cont1, cont2], 1)
+        enc = []
+        for i in range(self.num_block - 3):
+            x = self.moduleConv[i](x)
+            enc.append(x)
+            x = self.modulePool[i](x)
+        for i in range(self.num_block - 1):
+            x = self.moduleDeconv[i](x)
+            if i == self.rc_loc - 1:
+                rc = x.new_full((x.shape[0], 1, x.shape[2], x.shape[3]), ratio)
+                x = torch.cat([x, rc], dim=1)
+            x = self.moduleUpsample[i](x)
+            if i < self.num_block - 3:
+                x = x + enc[self.num_block - 3 - i - 1]
+            else:
+                x = x + res_list[self.num_block - i - 1]
+        d1 = sepconv(self.modulePad(in1), self.moduleVertical1(x), self.moduleHorizontal1(x), self.ks)
+        d2 = sepconv(self.modulePad(in2), self.moduleVertical2(x), self.moduleHorizontal2(x), self.ks)
+        return d1, d2
+
+
+class TAIFillInModel(nn.Module):
+    """Bidirectional MC-Net + TAI blending (reference tai.py:14-120)."""
+
+    def __init__(self, gf_dim, c_dim, feature_size, ks, num_block=5, kf_dim=32, layers=3):
+        super().__init__()
+        self.c_dim = c_dim
+        self.generator = MCNet(gf_dim, c_dim, feature_size)
+        self.merge_residual3 = Residual(gf_dim * 8, kf_dim * 4)
+        self.merge_residual2 = Residual(gf_dim * 4, kf_dim * 2)
+        self.merge_residual1 = Residual(gf_dim * 2, kf_dim * 1)
+        self.kernelnet = TAI(gf_dim, ks, num_block, layers, kf_dim)
+
+    def forward(self, T, preceding_frames, following_frames):
+        K = preceding_frames.shape[1]
+        F = following_frames.shape[1]
+        xt = preceding_frames[:, -1]
+        xt_F = following_frames[:, 0]
+
+        gp = (
+            bgr2gray_batched(inverse_transform(preceding_frames))
+            if self.c_dim == 3
+            else inverse_transform(preceding_frames)
+        )
+        diff_in = gp[:, 1:] - gp[:, :-1]
+        gf = (
+            bgr2gray_batched(inverse_transform(following_frames))
+            if self.c_dim == 3
+            else inverse_transform(following_frames)
+        )
+        rev = torch.flip(gf, dims=[1])
+        diff_in_F = rev[:, 1:] - rev[:, :-1]
+
+        fp, fd, fc, fr = self.generator(K, T, diff_in, xt)
+        bp, bd, bc, br = self.generator(F, T, diff_in_F, xt_F)
+        bp, bd, bc, br = bp[::-1], bd[::-1], bc[::-1], br[::-1]
+
+        comb, out1, out2 = [], [], []
+        w = np.linspace(0, 1, num=T + 2).tolist()[1:-1]
+        for t in range(T):
+            merged = [
+                self.merge_residual1(fr[t][0], br[t][0]),
+                self.merge_residual2(fr[t][1], br[t][1]),
+                self.merge_residual3(fr[t][2], br[t][2]),
+            ]
+            d1, d2 = self.kernelnet(fp[t], bp[t], fd[t], bd[t], fc[t], bc[t], merged, ratio=1 - w[t])
+            out1.append(d1)
+            out2.append(d2)
+            comb.append(0.5 * d1 + 0.5 * d2)
+
+        return {
+            "pred": torch.stack(comb, dim=1),
+            "pred_forward": torch.stack(fp, dim=1),
+            "pred_backward": torch.stack(bp, dim=1),
+            "interp_net_outputs_1": torch.stack(out1, dim=1),
+            "interp_net_outputs_2": torch.stack(out2, dim=1),
+        }
+
+
+class TWIFillInModel(nn.Module):
+    """Bidirectional MC-Net + time-weighted interpolation (reference
+    twi.py:15-122; submodules named mcnet/interp_net, no ratio plane)."""
+
+    def __init__(self, gf_dim, c_dim, feature_size, ks, num_block=5, kf_dim=32, layers=3):
+        super().__init__()
+        self.c_dim = c_dim
+        self.mcnet = MCNet(gf_dim, c_dim, feature_size)
+        self.merge_residual3 = Residual(gf_dim * 8, kf_dim * 4)
+        self.merge_residual2 = Residual(gf_dim * 4, kf_dim * 2)
+        self.merge_residual1 = Residual(gf_dim * 2, kf_dim * 1)
+        self.interp_net = TAI(gf_dim, ks, num_block, layers, kf_dim, rc_loc=-1)
+
+    def forward(self, T, preceding_frames, following_frames):
+        K = preceding_frames.shape[1]
+        F = following_frames.shape[1]
+        xt = preceding_frames[:, -1]
+        xt_F = following_frames[:, 0]
+        gp = (
+            bgr2gray_batched(inverse_transform(preceding_frames))
+            if self.c_dim == 3
+            else inverse_transform(preceding_frames)
+        )
+        diff_in = gp[:, 1:] - gp[:, :-1]
+        gf = (
+            bgr2gray_batched(inverse_transform(following_frames))
+            if self.c_dim == 3
+            else inverse_transform(following_frames)
+        )
+        rev = torch.flip(gf, dims=[1])
+        diff_in_F = rev[:, 1:] - rev[:, :-1]
+
+        fp, fd, fc, fr = self.mcnet(K, T, diff_in, xt)
+        bp, bd, bc, br = self.mcnet(F, T, diff_in_F, xt_F)
+        bp, bd, bc, br = bp[::-1], bd[::-1], bc[::-1], br[::-1]
+
+        comb, out1, out2 = [], [], []
+        w = np.linspace(0, 1, num=T + 2).tolist()[1:-1]
+        for t in range(T):
+            merged = [
+                self.merge_residual1(fr[t][0], br[t][0]),
+                self.merge_residual2(fr[t][1], br[t][1]),
+                self.merge_residual3(fr[t][2], br[t][2]),
+            ]
+            d1, d2 = self.interp_net(fp[t], bp[t], fd[t], bd[t], fc[t], bc[t], merged)
+            out1.append(d1)
+            out2.append(d2)
+            comb.append((1 - w[t]) * d1 + w[t] * d2)
+
+        return {
+            "pred": torch.stack(comb, dim=1),
+            "pred_forward": torch.stack(fp, dim=1),
+            "pred_backward": torch.stack(bp, dim=1),
+            "interp_net_outputs_1": torch.stack(out1, dim=1),
+            "interp_net_outputs_2": torch.stack(out2, dim=1),
+        }
+
+
+class MCNetFillInModel(nn.Module):
+    """Forward-only fill-in baseline (reference mcnet.py:301-347)."""
+
+    def __init__(self, gf_dim, c_dim, feature_size):
+        super().__init__()
+        self.c_dim = c_dim
+        self.generator = MCNet(gf_dim, c_dim, feature_size)
+
+    def forward(self, T, preceding_frames, following_frames):
+        K = preceding_frames.shape[1]
+        xt = preceding_frames[:, -1]
+        gp = (
+            bgr2gray_batched(inverse_transform(preceding_frames))
+            if self.c_dim == 3
+            else inverse_transform(preceding_frames)
+        )
+        diff_in = gp[:, 1:] - gp[:, :-1]
+        pred, _, _, _ = self.generator(K, T, diff_in, xt)
+        return {"pred": torch.stack(pred, dim=1)}

@@ -120,6 +120,7 @@ class TAIFillInModel(BidirectionalMCNetModel):
     layers: int = 3
     use_ratio: bool = True  # False -> TWI
     sepconv_impl: str | None = None
+    align_corners: bool = True  # torch-0.3 Upsample parity (see nn/kernelnet.py)
 
     def setup(self):
         super().setup()
@@ -133,6 +134,7 @@ class TAIFillInModel(BidirectionalMCNetModel):
             self.kf_dim,
             use_ratio=self.use_ratio,
             sepconv_impl=self.sepconv_impl,
+            align_corners=self.align_corners,
         )
 
     def __call__(self, T: int, preceding, following, lengths=None) -> Dict[str, Any]:

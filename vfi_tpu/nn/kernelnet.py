@@ -45,13 +45,14 @@ class KernelHead(nn.Module):
     kf_dim: int
     ks: int
     layers: int
+    align_corners: bool = True
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.layers - 1):
             x = nn.relu(Conv(self.kf_dim * 2, 3, name=f"conv{i}")(x))
         x = nn.relu(Conv(self.ks, 3, name="to_ks")(x))
-        x = upsample2x_bilinear(x)
+        x = upsample2x_bilinear(x, self.align_corners)
         return Conv(self.ks, 3, name="post_up")(x)
 
 
@@ -69,6 +70,10 @@ class KernelNet(nn.Module):
     use_ratio: bool = True
     rc_loc: int = 4
     sepconv_impl: str | None = None
+    # Corner-aligned 2x upsampling matches the reference's torch-0.3
+    # nn.Upsample bit-for-bit (needed for imported-checkpoint parity);
+    # half-pixel (False) is marginally cheaper but numerically different.
+    align_corners: bool = True
 
     @nn.compact
     def __call__(self, frame1, frame2, dyn1, dyn2, cont1, cont2, merged_res2, merged_res3, ratio):
@@ -104,7 +109,7 @@ class KernelNet(nn.Module):
                     ratio[:, None, None, None].astype(x.dtype), (*x.shape[:3], 1)
                 )
                 x = jnp.concatenate([x, plane], axis=-1)
-            x = upsample2x_bilinear(x)
+            x = upsample2x_bilinear(x, self.align_corners)
             x = nn.relu(Conv(c_out, 3, name=f"up{i}")(x))
             if i < nb - 3:
                 x = x + enc[nb - 3 - i - 1]
@@ -113,10 +118,11 @@ class KernelNet(nn.Module):
             else:  # i == nb - 2
                 x = x + merged_res2
 
-        v1 = KernelHead(kf, self.ks, self.layers, name="vertical1")(x)
-        v2 = KernelHead(kf, self.ks, self.layers, name="vertical2")(x)
-        h1 = KernelHead(kf, self.ks, self.layers, name="horizontal1")(x)
-        h2 = KernelHead(kf, self.ks, self.layers, name="horizontal2")(x)
+        ac = self.align_corners
+        v1 = KernelHead(kf, self.ks, self.layers, ac, name="vertical1")(x)
+        v2 = KernelHead(kf, self.ks, self.layers, ac, name="vertical2")(x)
+        h1 = KernelHead(kf, self.ks, self.layers, ac, name="horizontal1")(x)
+        h2 = KernelHead(kf, self.ks, self.layers, ac, name="horizontal2")(x)
 
         dot1 = sepconv(pad_for_sepconv(frame1, self.ks), v1, h1, impl=self.sepconv_impl)
         dot2 = sepconv(pad_for_sepconv(frame2, self.ks), v2, h2, impl=self.sepconv_impl)

@@ -6,8 +6,11 @@ src/models/mcnet/mcnet.py:240-256 (fixed unpooling).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # The reference decodes videos as BGR and converts to gray with BGR-ordered
 # luma weights (src/util/util.py:30-41).  We keep channel order BGR in the
@@ -58,10 +61,44 @@ def fixed_unpooling(x: jax.Array) -> jax.Array:
     return jnp.stack([xw, zw], axis=2).reshape(B, 2 * H, 2 * W, C)
 
 
-def upsample2x_bilinear(x: jax.Array) -> jax.Array:
-    """Bilinear 2x spatial upsample (half-pixel centers)."""
+def upsample2x_bilinear(x: jax.Array, align_corners: bool = False) -> jax.Array:
+    """Bilinear 2x spatial upsample.
+
+    ``align_corners=False`` — half-pixel centers (jax.image.resize semantics).
+    ``align_corners=True``  — corner-aligned sampling, bit-matching the
+    reference's torch-0.3 ``nn.Upsample(scale_factor=2, mode='bilinear')``
+    (src/models/tai/tai.py:281-285, 340-346); required for numerical parity
+    with imported reference checkpoints.  Implemented as two banded-matrix
+    contractions (constant interpolation matrices -> MXU matmuls under XLA).
+    """
     B, H, W, C = x.shape
-    return jax.image.resize(x, (B, 2 * H, 2 * W, C), method="bilinear")
+    if not align_corners:
+        return jax.image.resize(x, (B, 2 * H, 2 * W, C), method="bilinear")
+    rh = _align_corners_matrix(H, x.dtype)
+    rw = _align_corners_matrix(W, x.dtype)
+    x = jnp.einsum("oh,bhwc->bowc", rh, x)
+    return jnp.einsum("ow,bhwc->bhoc", rw, x)
+
+
+@functools.lru_cache(maxsize=None)
+def _align_corners_matrix_np(n: int):
+    """[2n, n] linear-interpolation matrix with corner-aligned sample points:
+    out coord i maps to input coord i*(n-1)/(2n-1)."""
+    out = np.zeros((2 * n, n), np.float64)
+    if n == 1:
+        out[:, 0] = 1.0
+        return out
+    pos = np.arange(2 * n) * (n - 1) / (2 * n - 1)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, n - 1)
+    w = pos - lo
+    out[np.arange(2 * n), lo] += 1.0 - w
+    out[np.arange(2 * n), hi] += w
+    return out
+
+
+def _align_corners_matrix(n: int, dtype) -> jax.Array:
+    return jnp.asarray(_align_corners_matrix_np(n), dtype)
 
 
 def frames_from_uint8(u8_bgr: jax.Array, c_dim: int, dtype=jnp.float32) -> jax.Array:
