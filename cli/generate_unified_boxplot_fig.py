@@ -1,6 +1,8 @@
 #!/usr/bin/env python
-"""Per-video boxplot paper figure across models/datasets
-(reference generate_unified_boxplot_fig.py)."""
+"""Per-video boxplot paper figure: 4 horizontal-boxplot panels
+(PSNR at T_a, PSNR at T_b, SSIM at T_a, SSIM at T_b), one box per model,
+first model on top (reference generate_unified_boxplot_fig.py:22-159).
+"""
 
 import argparse
 import os
@@ -10,19 +12,36 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from vfi_tpu.eval.figures import cm2in
+
+
+def _draw_panel(ax, tables, labels, hide_labels=False):
+    """Horizontal per-video-mean boxplot, first model on top (ref :22-52)."""
+    scores = [np.minimum(t, 100).mean(axis=1) for t in tables]
+    items = ax.boxplot(scores[::-1], vert=False, patch_artist=True,
+                       flierprops=dict(markersize=1), medianprops=dict(color="black"))
+    for patch in items["boxes"]:
+        patch.set_facecolor("lightblue")
+    if hide_labels:
+        ax.set_yticklabels([""] * len(labels))
+    else:
+        ax.set_yticklabels(labels[::-1])
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--results_root", type=str, default="results")
     p.add_argument("--dest_path", type=str, required=True)
     p.add_argument("--dataset", type=str, required=True)
-    p.add_argument("--T", type=int, required=True)
+    p.add_argument("--T_a", type=int, required=True)
+    p.add_argument("--T_b", type=int, required=True)
     p.add_argument("--exp_names", type=str, nargs="+", required=True)
     p.add_argument("--model_labels", type=str, nargs="+", required=True)
-    p.add_argument("--metric", type=str, choices=["psnr", "ssim"], default="ssim")
-    p.add_argument("--range", type=float, nargs=2, default=None)
+    p.add_argument("--psnr_range", type=float, nargs=2, required=True)
+    p.add_argument("--ssim_range", type=float, nargs=2, required=True)
     args = p.parse_args(argv)
-    assert len(args.exp_names) == len(args.model_labels)
+    if len(args.exp_names) != len(args.model_labels):
+        raise ValueError("Number of arguments to --exp_names and --model_labels must match")
 
     import matplotlib
 
@@ -32,24 +51,38 @@ def main(argv=None):
     plt.rcParams["font.family"] = "serif"
     plt.rcParams["font.size"] = 7
 
-    template = os.path.join(
-        args.results_root, "{dataset}-test_data_list_T={T}", "quantitative", "{exp}", "results.npz"
-    )
-    data, labels = [], []
-    for exp, label in zip(args.exp_names, args.model_labels):
-        table = np.load(template.format(dataset=args.dataset, T=args.T, exp=exp))[args.metric]
-        if args.metric == "psnr":
-            table = np.minimum(table, 100)
-        data.append(table.mean(axis=1))
-        labels.append(label)
+    template = os.path.join(args.results_root, "{dataset}-test_data_list_T={T}",
+                            "quantitative", "{exp}", "results.npz")
 
-    fig, ax = plt.subplots(figsize=(4, 2.2))
-    ax.boxplot(data, vert=False, tick_labels=labels, flierprops=dict(markersize=1))
-    ax.set_xlabel(args.metric.upper())
-    if args.range:
-        ax.set_xlim(*args.range)
-    os.makedirs(os.path.dirname(args.dest_path) or ".", exist_ok=True)
-    fig.savefig(args.dest_path, bbox_inches="tight")
+    def load(T, metric):
+        out = []
+        for exp in args.exp_names:
+            path = template.format(dataset=args.dataset, T=T, exp=exp)
+            try:
+                out.append(np.load(path)[metric])
+            except IOError:
+                raise ValueError(f"Failed to read file {path}")
+        return out
+
+    fig = plt.figure(figsize=(cm2in(18.2), cm2in(4)))
+    panels = [
+        (f"Mean PSNR (m={args.T_a})", load(args.T_a, "psnr"), args.psnr_range, False),
+        (f"Mean PSNR (m={args.T_b})", load(args.T_b, "psnr"), args.psnr_range, True),
+        (f"Mean SSIM (m={args.T_a})", load(args.T_a, "ssim"), args.ssim_range, True),
+        (f"Mean SSIM (m={args.T_b})", load(args.T_b, "ssim"), args.ssim_range, True),
+    ]
+    for i, (xlabel, tables, rng, hide) in enumerate(panels):
+        ax = fig.add_subplot(111, label=chr(ord("a") + i))
+        ax.set_position([0.12 + 0.22 * i, 0.25, 0.2, 0.68])
+        ax.set_xlabel(xlabel)
+        ax.set_xlim(rng[0], rng[1])
+        ax.tick_params(axis="y", left=False)
+        _draw_panel(ax, tables, args.model_labels, hide_labels=hide)
+
+    d = os.path.dirname(args.dest_path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    fig.savefig(args.dest_path)
     print(f"wrote {args.dest_path}")
 
 

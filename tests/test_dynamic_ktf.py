@@ -122,7 +122,7 @@ def test_dynamic_slomo_matches_static_losses():
     from vfi_tpu.train.dynamic_env import create_dynamic_environment
 
     model = SloMoFillInModel(base_dim=4, c_dim=1)
-    cfg = TrainConfig(K=MAX_K, T=MAX_T, F=MAX_F, lr=1e-4)
+    cfg = TrainConfig(K=MAX_K, T=MAX_T, F=MAX_F, lr=1e-4, lambda_p=0.0)
     env_dyn = create_dynamic_environment(model, cfg)
     env_static = create_training_environment(model, cfg)
 

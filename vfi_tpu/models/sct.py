@@ -143,13 +143,33 @@ class BaseSCTFillInModel(nn.Module):
         return x
 
     # -- shared context encoding --------------------------------------------
-    def _context(self, preceding, following):
-        B, K = preceding.shape[:2]
-        F = following.shape[1]
-        t_pre = jnp.arange(K, dtype=preceding.dtype) / K
-        t_fol = jnp.arange(F, dtype=preceding.dtype) / F + 2.0
-        enc_time = jnp.broadcast_to(jnp.concatenate([t_pre, t_fol])[None], (B, K + F))
-        enc_mask = jnp.ones((B, K + F), preceding.dtype)
+    def _context(self, preceding, following, lengths=None):
+        """Encode the K+F context frames.
+
+        With ``lengths=(K, T, F)`` (traced scalars), ``preceding`` is a
+        RIGHT-aligned max_K buffer and ``following`` a LEFT-aligned max_F
+        buffer (ops/dynamic.pack_context); padded positions are excluded via
+        the encoder sequence mask and their time steps zeroed."""
+        B, max_K = preceding.shape[:2]
+        max_F = following.shape[1]
+        dt = preceding.dtype
+        if lengths is None:
+            t_pre = jnp.arange(max_K, dtype=dt) / max_K
+            t_fol = jnp.arange(max_F, dtype=dt) / max_F + 2.0
+            enc_mask = jnp.ones((B, max_K + max_F), dt)
+        else:
+            K, _, F = lengths
+            Kf, Ff = jnp.asarray(K, dt), jnp.asarray(F, dt)
+            iK = jnp.arange(max_K)
+            mask_pre = (iK >= max_K - K).astype(dt)
+            t_pre = (iK.astype(dt) - (max_K - Kf)) / Kf * mask_pre
+            iF = jnp.arange(max_F)
+            mask_fol = (iF < F).astype(dt)
+            t_fol = (iF.astype(dt) / Ff + 2.0) * mask_fol
+            enc_mask = jnp.broadcast_to(
+                jnp.concatenate([mask_pre, mask_fol])[None], (B, max_K + max_F)
+            )
+        enc_time = jnp.broadcast_to(jnp.concatenate([t_pre, t_fol])[None], (B, max_K + max_F))
         frames = jnp.concatenate([preceding, following], axis=1)
         reps = self.encode_frames(frames)
         enc_out = self.encoder(reps[-1], enc_mask, enc_time)
@@ -173,30 +193,39 @@ class BaseSCTFillInModel(nn.Module):
 
 
 class SCTSkipConScaledTForwardFillInModel(BaseSCTFillInModel):
-    """Earliest-to-latest autoregressive generation (self_attention.py:132-191)."""
+    """Earliest-to-latest autoregressive generation (self_attention.py:132-191).
 
-    def __call__(self, T: int, preceding, following) -> Dict[str, Any]:
+    Supports dynamic (K, T, F) via ``lengths=(K, T, F)`` traced scalars on
+    pad-to-max buffers: generation times use the runtime T, padded context is
+    attention-masked, and outputs at t >= T are garbage the caller masks
+    (train/dynamic_env.DynamicSCTEnvironment) — positions t < T never attend
+    them thanks to the causal mask, so valid outputs equal the static path.
+    """
+
+    def _dec_times(self, max_T, B, dt, lengths):
+        Tf = jnp.asarray(lengths[1], dt) if lengths is not None else max_T
+        return jnp.broadcast_to((jnp.arange(max_T, dtype=dt) / Tf + 1.0)[None], (B, max_T))
+
+    def __call__(self, T: int, preceding, following, lengths=None) -> Dict[str, Any]:
         B = preceding.shape[0]
-        enc_out, enc_mask = self._context(preceding, following)
-        dec_times = jnp.broadcast_to(
-            (jnp.arange(T, dtype=preceding.dtype) / T + 1.0)[None], (B, T)
-        )
+        enc_out, enc_mask = self._context(preceding, following, lengths)
+        dec_times = self._dec_times(T, B, preceding.dtype, lengths)
         pred = self._decode_with_times(T, preceding, enc_out, enc_mask, dec_times)
         return {"pred": pred}
 
-    def forward_train(self, T: int, preceding, following, gt_middle) -> Dict[str, Any]:
+    def forward_train(self, T: int, preceding, following, gt_middle, lengths=None) -> Dict[str, Any]:
         """Teacher-forced pass: decoder inputs are the shifted GT middle frames
-        (self_attention.py:194-255)."""
+        (self_attention.py:194-255).  With ``lengths``, gt_middle is a
+        left-aligned max_T buffer, so the shifted inputs are correct at every
+        valid step for any runtime T."""
         B = preceding.shape[0]
-        enc_out, enc_mask = self._context(preceding, following)
+        enc_out, enc_mask = self._context(preceding, following, lengths)
         if T > 1:
             dec_in_frames = jnp.concatenate([preceding[:, -1:], gt_middle[:, : T - 1]], axis=1)
         else:
             dec_in_frames = preceding[:, -1:]
         dec_reps = self.encode_frames(dec_in_frames)
-        dec_times = jnp.broadcast_to(
-            (jnp.arange(T, dtype=preceding.dtype) / T + 1.0)[None], (B, T)
-        )
+        dec_times = self._dec_times(T, B, preceding.dtype, lengths)
         tril = jnp.tril(jnp.ones((T, T), preceding.dtype))
         prod_mask = jnp.broadcast_to(tril[None], (B, T, T))
         dec_out = self.decoder(enc_out, enc_mask, dec_reps[-1], dec_times, prod_mask)

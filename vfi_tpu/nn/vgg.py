@@ -8,8 +8,8 @@ downloaded in an offline TPU environment, so this module:
   * loads weights from an ``.npz`` file (keys ``convN_M/kernel`` [HWIO] and
     ``convN_M/bias``) when provided — see cli/convert_vgg16.py for converting
     a torchvision state_dict;
-  * otherwise reports itself unavailable and the perceptual term is dropped
-    (equivalent to lambda_p = 0).
+  * with no path configured, reports itself unavailable; SloMoEnvironment
+    hard-errors in that case unless lambda_p == 0 was explicitly requested.
 """
 
 from __future__ import annotations
@@ -56,13 +56,20 @@ def load_vgg16_params(npz_path: str) -> dict:
 
 
 def try_load_vgg16(npz_path: Optional[str]):
-    """Returns (apply_fn, params) or None when weights are unavailable."""
+    """Returns (apply_fn, params), or None when no path was given.
+
+    A path that is given but unloadable is a hard error: silently dropping
+    the perceptual term would train a SloMo that cannot reproduce the
+    reference (environments.py:541-544 always constructs the VGG16 head).
+    """
     if not npz_path:
         return None
     try:
         params = load_vgg16_params(npz_path)
-    except (IOError, KeyError) as e:
-        print(f"warning: could not load VGG16 weights from {npz_path}: {e}; perceptual loss disabled")
-        return None
+    except (OSError, KeyError, ValueError) as e:
+        raise RuntimeError(
+            f"could not load VGG16 weights from {npz_path}: {e}. "
+            "Convert a torchvision vgg16 state_dict with cli/convert_vgg16.py."
+        ) from e
     model = VGG16Features()
     return model, {"params": params}

@@ -5,7 +5,8 @@ VGG16 perceptual + warping + GDL-smoothness losses with lambda weights, and
 step-decay learning rate (lr * rate^(step // count)).
 
 No discriminator.  The perceptual term requires VGG16 weights (see
-vfi_tpu.nn.vgg); without them it is skipped.
+vfi_tpu.nn.vgg); training with lambda_p > 0 and no weights is a hard error
+so SloMo cannot silently train without the reference's loss composition.
 """
 
 from __future__ import annotations
@@ -28,6 +29,16 @@ class SloMoEnvironment(BaseEnvironment):
     def __init__(self, model, cfg):
         super().__init__(model, cfg)
         self._vgg = try_load_vgg16(cfg.vgg16_weights)
+        if self._vgg is None and cfg.lambda_p > 0:
+            # The reference ALWAYS trains SloMo with the frozen-VGG16
+            # perceptual term (environments.py:541-544,571-575); silently
+            # zeroing it would train a model that cannot match the paper.
+            raise RuntimeError(
+                "SloMo training with lambda_p > 0 requires VGG16 weights: pass "
+                "--vgg16_weights <npz> (convert a torchvision vgg16 state_dict "
+                "with cli/convert_vgg16.py), or explicitly opt out of reference "
+                "parity with --lambda_p 0."
+            )
 
     def g_tx(self):
         c = self.cfg

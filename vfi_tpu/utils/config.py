@@ -109,7 +109,8 @@ def build_train_parser() -> ArgFileParser:
     g.add_argument("--vgg16_weights", type=str, default=None,
                    help="Path to a VGG16-features .npz for the SloMo perceptual loss "
                         "(the torchvision download of the reference is unavailable offline; "
-                        "if absent, lambda_p is treated as 0)")
+                        "convert once with cli/convert_vgg16.py). Required whenever "
+                        "lambda_p > 0 — SloMo training hard-errors without it.")
 
     g = p.add_argument_group("Training visualization parameters")
     g.add_argument("--tensorboard_dir", type=str, default="tb")
