@@ -28,6 +28,13 @@ H = W = 128
 C = 1
 
 
+def _bench_dtype() -> str:
+    """bf16 is the shipped inference configuration (fastest correct path on
+    v5e, measured 1.3x over f32 — bandwidth-bound forward); the recorded
+    headline matches it.  Override with BENCH_DTYPE=float32."""
+    return os.environ.get("BENCH_DTYPE", "bfloat16")
+
+
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
@@ -46,9 +53,7 @@ def build(batch):
     # each one an RPC over the axon TPU tunnel.
     variables = jax.jit(model.init, static_argnums=1)(rng, T, p, f)
 
-    if os.environ.get("BENCH_DTYPE") == "bfloat16":
-        import jax.numpy as jnp
-
+    if _bench_dtype() == "bfloat16":
         variables, p, f = jax.tree.map(lambda a: a.astype(jnp.bfloat16), (variables, p, f))
 
     @jax.jit
@@ -94,7 +99,9 @@ def cpu_proxy_fps():
         capture_output=True,
         text=True,
         timeout=3600,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        # the proxy models the f32 PyTorch-CPU reference regardless of the
+        # TPU-side dtype under measurement
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "BENCH_DTYPE": "float32"},
     )
     line = out.stdout.strip().splitlines()[-1]
     data = json.loads(line)
@@ -128,10 +135,16 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "bi-TAI KTH128 inference (K=F=T=5, gray)",
+                "metric": f"bi-TAI KTH128 inference (K=F=T=5, gray, {_bench_dtype()})",
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
+                # the denominator is this framework's own single-core XLA CPU
+                # build (a conservative proxy; see module docstring) — NOT the
+                # PyTorch reference, which cannot run in this image
                 "vs_baseline": round(vs, 2) if vs else None,
+                "baseline": "own-XLA-single-core-CPU proxy (f32)",
+                "dtype": _bench_dtype(),
+                "batch": batch,
             }
         )
     )

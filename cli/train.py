@@ -43,6 +43,22 @@ def make_writer(log_dir):
         return None
 
 
+def visualize_predictions(env, state, ds, K, T, F, batch_size):
+    """Prediction grid over the first vis batch, context frames bordered green
+    and generated middle frames red (reference visualize_predictions +
+    visual_grid, train.py / util.py:117-155)."""
+    from vfi_tpu.data.datasets import batch_iterator as _bi
+
+    batch = next(_bi(ds, min(batch_size, len(ds)), False, False))
+    seq = batch["targets"]
+    out = env.forward_test(state.g_params, T, seq[:, :K], seq[:, K + T :])
+    vis = {
+        "pred_vis_seq": np.concatenate([seq[:, :K], np.asarray(out["pred"]), seq[:, K + T :]], axis=1),
+        "target_vis_seq": seq,
+    }
+    return visual_grid(vis, K, T)
+
+
 def compute_errors(env, state, loader, K, T, F, mesh=None):
     """Validation sweep: batched on-device PSNR/SSIM/L2 curves
     (replaces train.py:237-287); full batches shard over the data mesh."""
@@ -96,6 +112,7 @@ def main(argv=None):
             train_ds, opt.batch_size, not opt.serial_batches, True,
             seed=opt.seed, loop=True,
             num_shards=jax.process_count(), shard_index=jax.process_index(),
+            num_workers=opt.num_threads,
         ),
         depth=2,
     )
@@ -113,6 +130,13 @@ def main(argv=None):
         "val_alt_T": (val_loader(opt.val_video_list_alt_T_path, opt.alt_T, opt.K, opt.F), opt.K, opt.alt_T, opt.F),
         "val_alt_K_F": (val_loader(opt.val_video_list_alt_K_F_path, opt.T, opt.alt_K, opt.alt_F),
                         opt.alt_K, opt.T, opt.alt_F),
+    }
+    # Visualization sets: TB image grids of predictions at each validation
+    # sweep (reference train.py:67-89,155-160 — samples/T=..., samples/K=_F=...).
+    vis_sets = {
+        "val": val_loader(opt.vis_video_list_path, opt.T, opt.K, opt.F),
+        "val_alt_T": val_loader(opt.vis_video_list_alt_T_path, opt.alt_T, opt.K, opt.F),
+        "val_alt_K_F": val_loader(opt.vis_video_list_alt_K_F_path, opt.T, opt.alt_K, opt.alt_F),
     }
 
     model = create_model(opt.model_key)
@@ -231,6 +255,10 @@ def main(argv=None):
                         draw_err_plot(psnr_c, "PSNR").transpose(2, 0, 1),
                         total_updates,
                     )
+                    vis_ds = vis_sets.get(tag)
+                    if vis_ds is not None and len(vis_ds) > 0:
+                        grid = visualize_predictions(env, state, vis_ds, k, t_mid, f, opt.batch_size)
+                        writer.add_image(f"samples/{tag}", grid.transpose(2, 0, 1), total_updates)
                 print(f"[{tag}] iter {total_updates}: psnr {psnr_c.mean():.3f} ssim {ssim_c.mean():.4f}")
                 if tag == "val":
                     sum_psnr = float(psnr_c.mean(axis=0).sum())

@@ -106,15 +106,60 @@ def test_dynamic_train_step_matches_static_losses():
             float(m_dyn[key]), float(m_static[key]), rtol=2e-4, atol=1e-5, err_msg=key
         )
 
-    # a second call with different lengths must NOT recompile (cache size 1)
+    # a second call with different lengths must NOT recompile (assert cache
+    # growth, not absolute size — the jit cache is class-level and shared)
+    g_before = env_dyn._g_update_dyn._cache_size()
+    d_before = env_dyn._d_update_dyn._cache_size()
     _, m2 = env_dyn.train_step_dynamic(
         env_dyn.init_state(jax.random.PRNGKey(1), targets, MAX_K, MAX_T, MAX_F),
         jnp.asarray(targets),
         jnp.asarray([3, 1, 2]),
     )
     assert np.isfinite(float(m2["G_loss"]))
-    assert env_dyn._g_update_dyn._cache_size() == 1
-    assert env_dyn._d_update_dyn._cache_size() == 1
+    assert env_dyn._g_update_dyn._cache_size() == g_before
+    assert env_dyn._d_update_dyn._cache_size() == d_before
+
+
+@pytest.mark.parametrize("tf_p", [1.0, 0.0])
+def test_dynamic_sct_matches_static_losses(tf_p):
+    """SCT Forward with the teacher-forcing schedule: dynamic == static at the
+    same sampled lengths, in both the forced (tf_p=1) and free-running
+    (tf_p=0) branches; one compiled program for all length combinations."""
+    from vfi_tpu.models.sct import SCTSkipConScaledTForwardFillInModel
+    from vfi_tpu.train.dynamic_env import DynamicSCTEnvironment, create_dynamic_environment
+
+    model = SCTSkipConScaledTForwardFillInModel(c_dim=1, num_blocks=1, num_heads=2, d_v=16, d_ff=32)
+    cfg = TrainConfig(K=MAX_K, T=MAX_T, F=MAX_F, df_dim=8, Ip=1, disc_window_size=2,
+                      tf_p_min=tf_p, tf_p_max=tf_p)
+    env_dyn = create_dynamic_environment(model, cfg)
+    assert isinstance(env_dyn, DynamicSCTEnvironment)
+    env_static = create_training_environment(model, cfg)
+
+    targets = _targets()
+    K, T, F = 2, 2, 2
+    state_d = env_dyn.init_state(jax.random.PRNGKey(0), targets, MAX_K, MAX_T, MAX_F)
+    state_s = env_static.init_state(jax.random.PRNGKey(0), targets, MAX_K, MAX_T, MAX_F)
+
+    _, m_dyn = env_dyn.train_step_dynamic(state_d, jnp.asarray(targets), jnp.asarray([K, T, F]))
+    _, m_static = env_static.train_step(state_s, K, T, F, targets[:, : K + T + F])
+
+    for key in ("G_Lp", "G_gdl", "G_GAN", "D_fake", "D_real", "G_loss"):
+        np.testing.assert_allclose(
+            float(m_dyn[key]), float(m_static[key]), rtol=2e-4, atol=1e-5, err_msg=key
+        )
+
+    # different lengths, same program (no recompilation; the jit cache is
+    # class-level and shared across envs, so assert growth, not absolute size)
+    g_before = env_dyn._g_update_dyn._cache_size()
+    d_before = env_dyn._d_update_dyn._cache_size()
+    _, m2 = env_dyn.train_step_dynamic(
+        env_dyn.init_state(jax.random.PRNGKey(1), targets, MAX_K, MAX_T, MAX_F),
+        jnp.asarray(targets),
+        jnp.asarray([3, 1, 2]),
+    )
+    assert np.isfinite(float(m2["G_loss"]))
+    assert env_dyn._g_update_dyn._cache_size() == g_before
+    assert env_dyn._d_update_dyn._cache_size() == d_before
 
 
 def test_dynamic_slomo_matches_static_losses():

@@ -80,6 +80,49 @@ def test_pallas_interpret_matches_direct(ks, H, W, C):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("ks,H,W,C", [(5, 8, 8, 1), (7, 12, 16, 3), (51, 16, 16, 1)])
+def test_pallas_mxu_interpret_matches_direct(ks, H, W, C):
+    """v2 fused kernel (banded matrix built in VMEM via log-barrel skew)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vfi_tpu.ops.sepconv import sepconv_pallas_mxu
+
+    k = jax.random.split(jax.random.PRNGKey(5), 3)
+    B = 2
+    x = _rand(k[0], (B, H + ks - 1, W + ks - 1, C))
+    v = _rand(k[1], (B, H, W, ks))
+    h = _rand(k[2], (B, H, W, ks))
+    want = sepconv_direct(x, v, h)
+    with pltpu.force_tpu_interpret_mode():
+        got = sepconv_pallas_mxu(x, v, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_mxu_custom_vjp_matches_mxu_grad():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vfi_tpu.ops.sepconv import sepconv_pallas_mxu
+
+    ks, H, W, C, B = 5, 8, 8, 2, 1
+    k = jax.random.split(jax.random.PRNGKey(6), 4)
+    x = _rand(k[0], (B, H + ks - 1, W + ks - 1, C))
+    v = _rand(k[1], (B, H, W, ks))
+    h = _rand(k[2], (B, H, W, ks))
+    ct = _rand(k[3], (B, H, W, C))
+
+    def loss_p(x, v, h):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(sepconv_pallas_mxu(x, v, h) * ct)
+
+    def loss_m(x, v, h):
+        return jnp.sum(sepconv_mxu(x, v, h) * ct)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, v, h)
+    gm = jax.grad(loss_m, argnums=(0, 1, 2))(x, v, h)
+    for a, b in zip(gp, gm):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
 def test_mxu_gradients_finite_difference():
     ks, H, W, C, B = 3, 6, 6, 1, 1
     k = jax.random.split(jax.random.PRNGKey(3), 3)

@@ -199,3 +199,65 @@ def test_model_kind_for_key():
     assert model_kind_for_key("bi_SA_gray") == "bidirectional"
     with pytest.raises(ValueError):
         model_kind_for_key("SuperSloMo")
+
+
+def test_flow_warp_torch03_matches_grid_sample():
+    """flow_warp(mode="torch03") must reproduce the reference FlowWarper
+    (slomo.py:265-286): X = 2*((gx+u)/W - .5) sampled with grid_sample's
+    align_corners=True convention, zero padding."""
+    import torch.nn.functional as TF
+
+    from vfi_tpu.ops.warp import flow_warp
+
+    rng = np.random.RandomState(0)
+    B, H, W, C = 2, 12, 10, 3
+    img = rng.uniform(-1, 1, (B, H, W, C)).astype(np.float32)
+    uv = rng.uniform(-3, 3, (B, H, W, 2)).astype(np.float32)
+
+    gx, gy = np.meshgrid(np.arange(W), np.arange(H))
+    X = gx[None] + uv[..., 0]
+    Y = gy[None] + uv[..., 1]
+    grid = torch.tensor(np.stack([2 * (X / W - 0.5), 2 * (Y / H - 0.5)], -1), dtype=torch.float32)
+    timg = torch.tensor(img.transpose(0, 3, 1, 2))
+    want = TF.grid_sample(timg, grid, mode="bilinear", padding_mode="zeros", align_corners=True)
+    want = want.numpy().transpose(0, 2, 3, 1)
+
+    import jax.numpy as jnp
+
+    got = np.asarray(flow_warp(jnp.asarray(img), jnp.asarray(uv), mode="torch03"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_slomo_import_forward_parity():
+    """Imported reference SloMo weights + warp_mode='torch03' must reproduce
+    the torch forward (flow UNet, per-t synthesis, refine UNet, visibility
+    blend — slomo.py:289-342)."""
+    from vfi_tpu.models.slomo import SloMoFillInModel as JaxSloMo
+
+    gf, c_dim = 4, 1
+    K, T, F_ = 2, 3, 2
+    H = W = 32
+    rng = np.random.RandomState(11)
+
+    torch.manual_seed(3)
+    tm = torch_mirror.SloMoFillInModel(gf_dim=gf, c_input_dim=c_dim)
+    tm.eval()
+
+    p = _video(rng, 2, K, c_dim, H, W)
+    f = _video(rng, 2, F_, c_dim, H, W)
+    with torch.no_grad():
+        out_t = tm(T, torch.tensor(p), torch.tensor(f))
+
+    params, report = import_generator_state_dict(_state_dict_numpy(tm), "slomo")
+    assert report.skipped == []
+
+    model = JaxSloMo(base_dim=gf, c_dim=c_dim, warp_mode="torch03")
+    out_j = model.apply({"params": params}, T, p.transpose(0, 1, 3, 4, 2), f.transpose(0, 1, 3, 4, 2))
+    for key in ("pred", "F_0_1", "F_1_0", "F_t_0_collector", "F_t_1_collector"):
+        got = np.asarray(out_j[key])
+        want = out_t[key].numpy()
+        if want.ndim == 5:  # [B,T,C,H,W] -> NHWC video
+            want = _to_nhwc_video(out_t[key])
+        else:  # [B,C,H,W] -> NHWC image
+            want = want.transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(got, want, err_msg=key, **TOL)

@@ -424,3 +424,125 @@ class MCNetFillInModel(nn.Module):
         diff_in = gp[:, 1:] - gp[:, :-1]
         pred, _, _, _ = self.generator(K, T, diff_in, xt)
         return {"pred": torch.stack(pred, dim=1)}
+
+
+# ---------------------------------------------------------------------------
+# Super SloMo mirror (behavioral ref: src/models/slomo/slomo.py:28-371)
+# ---------------------------------------------------------------------------
+
+
+class SloMoEncoder(nn.Module):
+    """6-stage UNet encoder; Sequential indices match the reference
+    state_dict (enc1 convs at 0/2, enc2..enc6 at 1/3 after MaxPool)."""
+
+    def __init__(self, gf, input_dim, alpha=0.1):
+        super().__init__()
+        self.enc1 = nn.Sequential(
+            nn.Conv2d(input_dim, gf, 7, padding=3), nn.LeakyReLU(alpha),
+            nn.Conv2d(gf, gf, 7, padding=3), nn.LeakyReLU(alpha))
+        specs = [(gf, gf * 2, 5), (gf * 2, gf * 4, 3), (gf * 4, gf * 8, 3),
+                 (gf * 8, gf * 16, 3), (gf * 16, gf * 16, 3)]
+        for i, (ci, co, k) in enumerate(specs):
+            setattr(self, f"enc{i + 2}", nn.Sequential(
+                nn.MaxPool2d(2),
+                nn.Conv2d(ci, co, k, padding=k // 2), nn.LeakyReLU(alpha),
+                nn.Conv2d(co, co, k, padding=k // 2), nn.LeakyReLU(alpha)))
+
+    def forward(self, x):
+        outs = []
+        for i in range(6):
+            x = getattr(self, f"enc{i + 1}")(x)
+            outs.append(x)
+        return outs[-1], outs[:-1]
+
+
+class SloMoDecoder(nn.Module):
+    """5-stage UNet decoder (reference ComputeDecoder/RefineDecoder share
+    this layout; the activation split differs at the caller)."""
+
+    def __init__(self, gf, out_dim, alpha=0.1):
+        super().__init__()
+        specs = [(gf * 32, gf * 16, gf * 8), (gf * 16, gf * 8, gf * 4),
+                 (gf * 8, gf * 4, gf * 2), (gf * 4, gf * 2, gf), (gf * 2, gf, gf)]
+        for i, (ci, cm, co) in enumerate(specs):
+            setattr(self, f"dec{i + 1}", nn.Sequential(
+                nn.Conv2d(ci, cm, 3, padding=1), nn.LeakyReLU(alpha),
+                nn.Conv2d(cm, co, 3, padding=1), nn.LeakyReLU(alpha)))
+        self.output = nn.Conv2d(gf, out_dim, 1)
+
+    def forward(self, x, res_in):
+        for i in range(5):
+            x = TF.interpolate(x, scale_factor=2, mode="bilinear", align_corners=True)
+            x = getattr(self, f"dec{i + 1}")(torch.cat((x, res_in[-(i + 1)]), 1))
+        return self.output(x)
+
+
+def flow_warp_torch03(img, uv):
+    """Reference FlowWarper (slomo.py:265-286): grid normalized as
+    2*((g+uv)/S - .5), sampled align_corners=True with zero padding."""
+    B, C, H, W = img.shape
+    gx, gy = np.meshgrid(np.arange(W), np.arange(H))
+    gx = torch.tensor(gx, dtype=img.dtype, device=img.device)
+    gy = torch.tensor(gy, dtype=img.dtype, device=img.device)
+    X = 2 * ((gx.unsqueeze(0) + uv[:, 0]) / W - 0.5)
+    Y = 2 * ((gy.unsqueeze(0) + uv[:, 1]) / H - 0.5)
+    grid = torch.stack((X, Y), dim=3)
+    return TF.grid_sample(img, grid, mode="bilinear", padding_mode="zeros",
+                          align_corners=True)
+
+
+class SloMo(nn.Module):
+    def __init__(self, gf_dim, c_input_dim):
+        super().__init__()
+        self.c_input_dim = c_input_dim
+        self.compute_enc = SloMoEncoder(gf_dim, 2 * c_input_dim)
+        self.compute_dec = SloMoDecoder(gf_dim, 4)
+        self.refine_enc = SloMoEncoder(gf_dim, 4 * c_input_dim + 4)
+        self.refine_dec = SloMoDecoder(gf_dim, 5)
+
+    def forward(self, T, I0, I1):
+        c = self.c_input_dim
+        img = torch.cat((I0, I1), 1)
+        enc, res = self.compute_enc(img)
+        flows = torch.tanh(self.compute_dec(enc, res))
+        F_0_1, F_1_0 = flows[:, :2], flows[:, 2:]
+        preds, f0s, f1s = [], [], []
+        for t_ in range(T):
+            t = (t_ + 1) / (T + 1)
+            F_t_0 = -(1 - t) * t * F_0_1 + t**2 * F_1_0
+            F_t_1 = (1 - t) * (1 - t) * F_0_1 - t * (1 - t) * F_1_0
+            g0 = flow_warp_torch03(I0, F_t_0)
+            g1 = flow_warp_torch03(I1, F_t_1)
+            r_enc, r_res = self.refine_enc(torch.cat((I0, g0, F_t_0, F_t_1, g1, I1), 1))
+            r_out = self.refine_dec(r_enc, r_res)
+            dF0 = torch.tanh(r_out[:, 0:2])
+            dF1 = torch.tanh(r_out[:, 2:4])
+            V0 = torch.sigmoid(r_out[:, 4:5])
+            F0r = torch.clamp(F_t_0 + dF0, -1, 1)
+            F1r = torch.clamp(F_t_1 + dF1, -1, 1)
+            V1 = 1 - V0
+            w0 = flow_warp_torch03(I0, F0r)
+            w1 = flow_warp_torch03(I1, F1r)
+            norm = (1 - t) * V0 + t * V1
+            preds.append(((1 - t) * V0 * w0 + t * V1 * w1) / norm)
+            f0s.append(F_t_0)
+            f1s.append(F_t_1)
+        # NOTE: unlike the reference (which prepends, yielding reversed time,
+        # slomo.py:338-340) we return natural order, matching vfi_tpu.
+        return (torch.stack(preds, 1), F_0_1, F_1_0,
+                torch.stack(f0s, 1), torch.stack(f1s, 1))
+
+
+class SloMoFillInModel(nn.Module):
+    """Reference wrapper (slomo.py:345-371): uses only I0 = last preceding
+    and I1 = first following frame."""
+
+    def __init__(self, gf_dim=32, c_input_dim=3):
+        super().__init__()
+        self.generator = SloMo(gf_dim, c_input_dim)
+
+    def forward(self, T, preceding_frames, following_frames):
+        pred, F01, F10, f0, f1 = self.generator(
+            T, preceding_frames[:, -1], following_frames[:, 0])
+        return {"pred": pred, "F_0_1": F01, "F_1_0": F10,
+                "F_t_0_collector": f0, "F_t_1_collector": f1}

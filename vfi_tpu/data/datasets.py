@@ -229,7 +229,9 @@ class DisjointVideoClipDataset(ContiguousVideoClipDataset):
     (reference base_dataset.py:205-248)."""
 
     def __init__(self, c_dim, video_list_path, K, F, image_size, padding_size=(0, 0), data_root=None):
-        super().__init__(c_dim, video_list_path, None, False, False, image_size, False, padding_size, data_root)
+        # seq_len = K + F: the frames actually read per item (the overridden
+        # __getitem__ ignores it, but keep the parent's invariant meaningful).
+        super().__init__(c_dim, video_list_path, K + F, False, False, image_size, False, padding_size, data_root)
         self.K = K
         self.F = F
 
@@ -261,26 +263,43 @@ def batch_iterator(
     num_shards: int = 1,
     shard_index: int = 0,
     loop: bool = False,
+    num_workers: int = 0,
 ) -> Iterator[dict]:
     """Minimal host batcher with per-host sharding.
 
     Each host reads only its shard of the videolist (SURVEY.md §2.5:
     intra-host loader parallelism -> per-host data sharding on TPU pods).
+    ``num_workers > 1`` decodes the samples of a batch on a thread pool —
+    the role of the reference DataLoader's worker processes (--num_threads,
+    train.py:40-41); clip decoding in the native C++ loader releases the GIL,
+    so threads genuinely overlap.
     """
-    rng = random.Random(seed)
-    order = list(range(len(dataset)))[shard_index::num_shards]
-    while True:
-        idxs = order[:]
-        if shuffle:
-            rng.shuffle(idxs)
-        for i in range(0, len(idxs), batch_size):
-            chunk = idxs[i : i + batch_size]
-            if len(chunk) < batch_size and drop_last:
-                continue
-            items = [dataset[j] for j in chunk]
-            yield {
-                "targets": np.stack([it["targets"] for it in items]),
-                "clip_label": [it["clip_label"] for it in items],
-            }
-        if not loop:
-            return
+    pool = None
+    if num_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=num_workers)
+    try:
+        rng = random.Random(seed)
+        order = list(range(len(dataset)))[shard_index::num_shards]
+        while True:
+            idxs = order[:]
+            if shuffle:
+                rng.shuffle(idxs)
+            for i in range(0, len(idxs), batch_size):
+                chunk = idxs[i : i + batch_size]
+                if len(chunk) < batch_size and drop_last:
+                    continue
+                if pool is not None:
+                    items = list(pool.map(dataset.__getitem__, chunk))
+                else:
+                    items = [dataset[j] for j in chunk]
+                yield {
+                    "targets": np.stack([it["targets"] for it in items]),
+                    "clip_label": [it["clip_label"] for it in items],
+                }
+            if not loop:
+                return
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)

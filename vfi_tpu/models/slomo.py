@@ -59,7 +59,10 @@ class SloMoDecoder(nn.Module):
     def __call__(self, x, skips):
         g = self.gf_dim
         for i, (m1, m2) in enumerate([(16, 8), (8, 4), (4, 2), (2, 1), (1, 1)]):
-            x = upsample2x_bilinear(x)
+            # align_corners=True matches the reference's torch-0.3
+            # nn.Upsample(mode='bilinear') (slomo.py:113-149) — required for
+            # imported-checkpoint parity.
+            x = upsample2x_bilinear(x, align_corners=True)
             x = jnp.concatenate([x, skips[-(i + 1)]], axis=-1)
             x = nn.leaky_relu(Conv(g * m1, 3, name=f"d{i}a")(x), self.alpha)
             x = nn.leaky_relu(Conv(g * m2, 3, name=f"d{i}b")(x), self.alpha)
@@ -69,6 +72,10 @@ class SloMoDecoder(nn.Module):
 class SloMoFillInModel(nn.Module):
     base_dim: int = 32
     c_dim: int = 3
+    # "pixel" for from-scratch training; "torch03" reproduces the reference
+    # FlowWarper's grid_sample semantics bit-faithfully — set when evaluating
+    # imported reference checkpoints (see ops/warp.py).
+    warp_mode: str = "pixel"
 
     @nn.compact
     def __call__(self, T: int, preceding, following, lengths=None) -> Dict[str, Any]:
@@ -108,8 +115,8 @@ class SloMoFillInModel(nn.Module):
         Ft0 = fold(F_t_0)
         Ft1 = fold(F_t_1)
 
-        g_I0 = flow_warp(I0r, Ft0)
-        g_I1 = flow_warp(I1r, Ft1)
+        g_I0 = flow_warp(I0r, Ft0, self.warp_mode)
+        g_I1 = flow_warp(I1r, Ft1, self.warp_mode)
 
         refine_in = jnp.concatenate([I0r, g_I0, Ft0, Ft1, g_I1, I1r], axis=-1)
         x, skips = SloMoEncoder(self.base_dim, name="refine_enc")(refine_in)
@@ -121,8 +128,8 @@ class SloMoFillInModel(nn.Module):
         Ft0_r = jnp.clip(Ft0 + dF_t_0, -1.0, 1.0)
         Ft1_r = jnp.clip(Ft1 + dF_t_1, -1.0, 1.0)
         V_t_1 = 1.0 - V_t_0
-        g0 = flow_warp(I0r, Ft0_r)
-        g1 = flow_warp(I1r, Ft1_r)
+        g0 = flow_warp(I0r, Ft0_r, self.warp_mode)
+        g1 = flow_warp(I1r, Ft1_r, self.warp_mode)
 
         tf = fold(jnp.broadcast_to(t, (T, B, 1, 1, 1)))
         norm = (1 - tf) * V_t_0 + tf * V_t_1

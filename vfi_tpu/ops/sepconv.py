@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-Impl = Literal["direct", "mxu", "pallas"]
+Impl = Literal["direct", "mxu", "pallas", "pallas_mxu"]
 
 
 def _check_shapes(x: jax.Array, v: jax.Array, h: jax.Array) -> tuple[int, int, int, int, int]:
@@ -295,6 +295,135 @@ def sepconv_pallas(x: jax.Array, v: jax.Array, h: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Fused Pallas MXU kernel (v2): banded matrix built in VMEM
+# ---------------------------------------------------------------------------
+
+
+def _sepconv_pallas_mxu_raw(x: jax.Array, v: jax.Array, h: jax.Array, *, row_tile: int) -> jax.Array:
+    """Fused MXU kernel: the banded matrix ``S`` lives only in VMEM.
+
+    The plain-XLA :func:`sepconv_mxu` is bandwidth-bound: it materializes
+    ``S = skew(h)`` ([B, H, W, W+ks-1], ~466 MB at the bi-TAI operating point)
+    and the row slabs in HBM (round-1 roofline, CLAUDE.md).  This kernel fuses
+    the skew into the matmul cell so the only HBM traffic is x, v, h and the
+    output.
+
+    Per grid cell (one image n, one tile of TH output rows):
+      1. build ``S[yy, x, u] = h[yy, x, u - x]`` from the [TH, W, ks] kernel
+         block with a *log-barrel shift*: row x must move right by x lanes;
+         7 (=log2 W) masked circular rolls do all W distinct shifts at once.
+         (This sidesteps the Mosaic reshape limits that blocked the
+         flatten-reshape skew in round 1.)
+      2. for each output row: one [ks, W+ks-1] x [W+ks-1, W] MXU matmul
+         against the input slab (the horizontal pass), then a sublane
+         reduction against the tap-major vertical kernels (the vertical pass).
+
+    Layouts (lane axis last):
+      xt: [N, nt, TH+ks-1, Wp]  overlapping row tiles of the padded input
+      h:  [N, H, W, ks]         taps on lanes (skewed into S in VMEM)
+      vt: [N, H, ks, W]         tap-major (sublane reduction in step 2)
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W, C, ks = _check_shapes(x, v, h)
+    TH = row_tile
+    assert H % TH == 0, f"H={H} must be divisible by row_tile={TH}"
+    Wp = W + ks - 1
+    nt = H // TH
+    n_bits = max((W - 1).bit_length(), 1)
+
+    if x.dtype == jnp.bfloat16:
+        prec = lax.Precision.DEFAULT
+    else:
+        # Mosaic's dot lowering supports DEFAULT/HIGHEST only (no 3-pass HIGH);
+        # HIGHEST keeps the f32 path reference-accurate.
+        prec = lax.Precision.HIGHEST
+
+    x2 = jnp.moveaxis(x, 3, 1).reshape(B * C, H + ks - 1, Wp)
+    vt = jnp.moveaxis(v, 3, 2)  # [B, H, ks, W]
+    ht = h  # [B, H, W, ks]
+    if C > 1:
+        vt = jnp.repeat(vt, C, axis=0)
+        ht = jnp.repeat(ht, C, axis=0)
+    N = B * C
+    xt = jnp.stack([x2[:, i * TH : i * TH + TH + ks - 1] for i in range(nt)], axis=1)
+
+    def kernel(x_ref, h_ref, v_ref, o_ref):
+        xbuf = x_ref[0, 0]  # [TH+ks-1, Wp]
+        hbuf = h_ref[0]  # [TH, W, ks]
+        vbuf = v_ref[0]  # [TH, ks, W]
+
+        # --- step 1: log-barrel skew  S[yy, x, u] = h[yy, x, u-x] ------------
+        S = jnp.pad(hbuf, ((0, 0), (0, 0), (0, Wp - ks)))  # [TH, W, Wp]
+        row = lax.broadcasted_iota(jnp.int32, (TH, W, Wp), 1)
+        for k in range(n_bits):
+            shifted = pltpu.roll(S, 1 << k, axis=2)
+            S = jnp.where((row >> k) & 1 == 1, shifted, S)
+        # No wrap corruption: row x's content ends at lane x + ks - 1 <= Wp - 1.
+
+        # --- step 2: per-row MXU matmul + tap reduction ----------------------
+        rows = []
+        for yy in range(TH):
+            slab = xbuf[yy : yy + ks]  # [ks, Wp] static sublane slice
+            inner = lax.dot_general(
+                slab, S[yy], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # [ks, W]
+            rows.append(jnp.sum(inner * vbuf[yy].astype(jnp.float32), axis=0))
+        o_ref[0] = jnp.stack(rows).astype(o_ref.dtype)
+
+    out2 = pl.pallas_call(
+        kernel,
+        grid=(N, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, TH + ks - 1, Wp), lambda n, i: (n, i, 0, 0)),
+            pl.BlockSpec((1, TH, W, ks), lambda n, i: (n, i, 0, 0)),
+            pl.BlockSpec((1, TH, ks, W), lambda n, i: (n, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TH, W), lambda n, i: (n, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, H, W), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * H * ks * Wp * W,
+            bytes_accessed=(xt.size + vt.size + ht.size + N * H * W) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(xt, ht, vt)
+    return jnp.moveaxis(out2.reshape(B, C, H, W), 1, 3)
+
+
+def _pick_row_tile_mxu(H: int, W: int, ks: int, itemsize: int) -> int:
+    """Largest tile whose VMEM working set (S + blocks) stays well under budget."""
+    for t in (16, 8, 4, 2, 1):
+        if H % t != 0:
+            continue
+        s_bytes = t * W * (W + ks - 1) * 4  # S is built in f32
+        blocks = t * W * ks * itemsize * 2 + (t + ks - 1) * (W + ks - 1) * itemsize
+        if 2 * (s_bytes + blocks) < 10 * 1024 * 1024:  # double-buffered
+            return t
+    return 1
+
+
+@jax.custom_vjp
+def _sepconv_pallas_mxu_vjp(x, v, h):
+    return _sepconv_pallas_mxu_raw(
+        x, v, h, row_tile=_pick_row_tile_mxu(v.shape[1], v.shape[2], v.shape[3], x.dtype.itemsize)
+    )
+
+
+def _sepconv_mxu_fwd(x, v, h):
+    return _sepconv_pallas_mxu_vjp(x, v, h), (x, v, h)
+
+
+_sepconv_pallas_mxu_vjp.defvjp(_sepconv_mxu_fwd, _sepconv_bwd)
+
+
+def sepconv_pallas_mxu(x: jax.Array, v: jax.Array, h: jax.Array) -> jax.Array:
+    """Fused S-in-VMEM MXU forward with the XLA-AD backward of sepconv_mxu."""
+    return _sepconv_pallas_mxu_vjp(x, v, h)
+
+
+# ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
 
@@ -317,4 +446,6 @@ def sepconv(x: jax.Array, v: jax.Array, h: jax.Array, impl: Impl | None = None) 
         return sepconv_mxu(x, v, h)
     if impl == "pallas":
         return sepconv_pallas(x, v, h)
+    if impl == "pallas_mxu":
+        return sepconv_pallas_mxu(x, v, h)
     raise ValueError(f"unknown sepconv impl {impl!r}")

@@ -27,7 +27,7 @@ from ..ops.dynamic import (
     pack_context,
 )
 from ..ops.image import inverse_transform
-from .environments import L2GDLDiscEnvironment, TAIEnvironment, TrainState
+from .environments import L2GDLDiscEnvironment, SCTEnvironment, TAIEnvironment, TrainState
 
 
 def _masked_gdl(pred, target, tmask):
@@ -51,10 +51,15 @@ class DynamicKTFMixin:
 
     use_intermediate_losses = False  # True for the TAI family
 
-    def _g_loss_dyn(self, g_params, d_params, d_sn, K, T, F, targets):
+    def _g_forward_dyn(self, g_params, rng, step, K, T, F, p, m, f):
+        """Model application hook — overridden by DynamicSCTEnvironment for
+        the teacher-forcing branch (mirrors the static _g_forward hook)."""
+        return self.model.apply({"params": g_params}, self.cfg.T, p, f, lengths=(K, T, F))
+
+    def _g_loss_dyn(self, g_params, d_params, d_sn, rng, step, K, T, F, targets):
         c = self.cfg
         p, m, f = pack_context(targets, K, T, F, c.K, c.T, c.F)
-        out = self.model.apply({"params": g_params}, c.T, p, f, lengths=(K, T, F))
+        out = self._g_forward_dyn(g_params, rng, step, K, T, F, p, m, f)
         tmask = middle_mask(T, c.T)[None, :]
 
         pred01 = inverse_transform(out["pred"])
@@ -107,9 +112,9 @@ class DynamicKTFMixin:
         K, T, F = ktf[0], ktf[1], ktf[2]
         g_params, g_opt, rng, step = gstate
         d_params, d_sn = d_frozen
-        rng, _ = jax.random.split(rng)
+        rng, step_rng = jax.random.split(rng)
         (loss, (out, p, m, f, terms)), g_grads = jax.value_and_grad(self._g_loss_dyn, has_aux=True)(
-            g_params, d_params, d_sn, K, T, F, targets
+            g_params, d_params, d_sn, step_rng, step, K, T, F, targets
         )
         g_updates, g_opt = self.g_tx().update(g_grads, g_opt, g_params)
         g_params = optax.apply_updates(g_params, g_updates)
@@ -161,6 +166,31 @@ class DynamicMCNetEnvironment(DynamicL2GDLDiscEnvironment):
 
 class DynamicTAIEnvironment(DynamicKTFMixin, TAIEnvironment):
     use_intermediate_losses = True
+
+
+class DynamicSCTEnvironment(DynamicKTFMixin, SCTEnvironment):
+    """Dynamic-(K,T,F) SCT training with the sigmoid teacher-forcing schedule
+    (environments.py:514-528): one compiled program covers every sampled
+    combination AND both TF branches (lax.cond executes only the chosen one).
+    """
+
+    def _g_forward_dyn(self, g_params, rng, step, K, T, F, p, m, f):
+        tf_rng, sample_rng = jax.random.split(rng)
+        use_tf = jax.random.uniform(tf_rng) < self.tf_rate(step)
+
+        def forced(_):
+            return self.model.apply(
+                {"params": g_params}, self.cfg.T, p, f, m, lengths=(K, T, F),
+                method="forward_train", rngs={"sample": sample_rng},
+            )
+
+        def free(_):
+            return self.model.apply(
+                {"params": g_params}, self.cfg.T, p, f, lengths=(K, T, F),
+                rngs={"sample": sample_rng},
+            )
+
+        return jax.lax.cond(use_tf, forced, free, None)
 
 
 class DynamicSloMoEnvironment:
@@ -238,8 +268,10 @@ class DynamicSloMoEnvironment:
 def create_dynamic_environment(model, cfg):
     """Dynamic-(K,T,F) counterpart of create_training_environment.
 
-    Returns None for model families without a dynamic path yet (SCT teacher
-    forcing, SloMo) — the trainer falls back to per-combination compilation.
+    Covered families: TAI/TWI/bi-SA/bi-TWA, MCNet, SloMo, and the SCT Forward
+    lineage (Forward/Bypass/FrameEncDecBN, incl. teacher forcing).  Returns
+    None for the SCT Inward/Random variants (their generation-order machinery
+    needs static T) — the trainer falls back to per-combination compilation.
     """
     from ..models.fill_in import (
         BidirectionalSimpleAverageFillInModel,
@@ -264,6 +296,14 @@ def create_dynamic_environment(model, cfg):
 
         if isinstance(model, SloMoFillInModel):
             return DynamicSloMoEnvironment(model, cfg)
+    except ImportError:
+        pass
+    try:
+        from ..models.sct import SCTSkipConScaledTForwardFillInModel
+
+        # Covers the Bypass and FrameEncDecBN subclasses too.
+        if isinstance(model, SCTSkipConScaledTForwardFillInModel):
+            return DynamicSCTEnvironment(model, cfg)
     except ImportError:
         pass
     return None

@@ -113,6 +113,27 @@ def kernelnet_name_map(prefix: str, num_block: int, layers: int) -> NameMap:
     return m
 
 
+def slomo_name_map() -> NameMap:
+    """Torch->flax names for Super SloMo (src/models/slomo/slomo.py:289-371).
+
+    Both UNets: encoder stages ``enc1..enc6`` are Sequentials with convs at
+    indices (0, 2) for enc1 and (1, 3) for the rest (MaxPool2d at 0,
+    slomo.py:40-85); decoder stages ``dec1..dec5`` have convs at (0, 2) and a
+    final 1x1 ``output`` conv (slomo.py:115-158).
+    """
+    m: NameMap = {}
+    for unet in ("compute", "refine"):
+        for i in range(6):
+            a, b = (0, 2) if i == 0 else (1, 3)
+            m[f"generator.{unet}_enc.enc{i + 1}.{a}"] = (f"{unet}_enc/e{i}a", "conv")
+            m[f"generator.{unet}_enc.enc{i + 1}.{b}"] = (f"{unet}_enc/e{i}b", "conv")
+        for i in range(5):
+            m[f"generator.{unet}_dec.dec{i + 1}.0"] = (f"{unet}_dec/d{i}a", "conv")
+            m[f"generator.{unet}_dec.dec{i + 1}.2"] = (f"{unet}_dec/d{i}b", "conv")
+        m[f"generator.{unet}_dec.output"] = (f"{unet}_dec/out", "conv")
+    return m
+
+
 def merge_residual_name_map() -> NameMap:
     m: NameMap = {}
     for n in (2, 3):
@@ -138,6 +159,8 @@ def name_map_for(model_kind: str, num_block: int = 5, layers: int = 3) -> NameMa
         m.update(kernelnet_name_map("interp_net.", num_block, layers))
     elif model_kind in ("mcnet", "bidirectional"):
         m = mcnet_name_map("generator.")
+    elif model_kind == "slomo":
+        m = slomo_name_map()
     else:
         raise ValueError(f"unknown model_kind {model_kind!r}")
     return m
@@ -207,6 +230,8 @@ def model_kind_for_key(model_key: str) -> str:
     if key.startswith("{") or key.endswith(".json"):
         raise ValueError("pass the resolved class name for JSON model keys")
     lowered = key.lower()
+    if "slomo" in lowered:
+        return "slomo"
     if "twi" in lowered or "timeweightedinterpolation" in lowered:
         return "twi"
     if "tai" in lowered:
