@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""bf16-vs-f32 train-step post-mortem (bi-TAI, B=8, KTH shapes).
+
+Round-1 finding: the mixed-precision (--train_dtype bfloat16) train step
+measured SLOWER than f32 (493 ms vs 276 ms) — suspected bf16 conv-backward
+lowering.  This script separates the G and D programs per dtype, and prints
+XLA cost-analysis stats for each compiled program so the regressing one can
+be identified without a trace viewer.
+
+Usage: python benchmarks/bench_train_step.py [B] [iters]
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from vfi_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
+import jax
+import numpy as np
+
+from vfi_tpu.models.fill_in import TAIFillInModel
+from vfi_tpu.train.environments import create_training_environment
+from vfi_tpu.utils.config import TrainConfig
+
+K = T = F = 5
+H = W = 128
+
+
+def build(train_dtype, B):
+    model = TAIFillInModel(gf_dim=64, c_dim=1, feature_size=3, ks=51, num_block=5)
+    cfg = TrainConfig(K=K, T=T, F=F, df_dim=64, Ip=1, disc_window_size=5,
+                      train_dtype=train_dtype)
+    env = create_training_environment(model, cfg)
+    batch = np.random.RandomState(0).uniform(-1, 1, (B, K + T + F, H, W, 1)).astype(np.float32)
+    state = env.init_state(jax.random.PRNGKey(0), batch, K, T, F)
+    return env, state, jax.numpy.asarray(batch)
+
+
+def time_programs(env, state, targets, iters):
+    gstate = (state.g_params, state.g_opt, state.rng, state.step)
+    d_frozen = (state.d_params, state.d_sn)
+    dstate = (state.d_params, state.d_sn, state.d_opt)
+
+    # donate_argnums: keep a reusable copy
+    def g_once():
+        gs, pred, terms = env._g_update(
+            jax.tree.map(lambda a: a.copy() if hasattr(a, "copy") else a, gstate),
+            d_frozen, K, T, F, targets)
+        return pred, terms
+
+    pred, _ = g_once()
+    np.asarray(pred)  # compile+sync
+
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out, _ = g_once()
+    np.asarray(out)
+    g_ms = (time.perf_counter() - t0) / iters * 1000
+
+    def d_once(pred):
+        ds, terms = env._d_update(
+            jax.tree.map(lambda a: a.copy() if hasattr(a, "copy") else a, dstate),
+            pred, K, T, F, targets)
+        return terms
+
+    terms = d_once(pred)
+    np.asarray(terms["D_fake"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        terms = d_once(pred)
+    np.asarray(terms["D_fake"])
+    d_ms = (time.perf_counter() - t0) / iters * 1000
+    return g_ms, d_ms
+
+
+def cost_stats(env, state, targets):
+    """XLA cost analysis of the lowered G program (flops / bytes accessed)."""
+    gstate = (state.g_params, state.g_opt, state.rng, state.step)
+    d_frozen = (state.d_params, state.d_sn)
+    lowered = env._g_update.lower(gstate, d_frozen, K, T, F, targets)
+    try:
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return {k: ca.get(k) for k in ("flops", "bytes accessed")}
+    except Exception as e:  # noqa: BLE001
+        return {"error": str(e)}
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    for dtype in ("float32", "bfloat16"):
+        env, state, targets = build(dtype, B)
+        g_ms, d_ms = time_programs(env, state, targets, iters)
+        stats = cost_stats(env, state, targets) if os.environ.get("COST_ANALYSIS") else {}
+        print(json.dumps({"metric": f"bi-TAI train step B={B} {dtype}",
+                          "G_ms": round(g_ms, 1), "D_ms": round(d_ms, 1),
+                          "total_ms": round(g_ms + d_ms, 1), **stats}))
+
+
+if __name__ == "__main__":
+    main()

@@ -69,8 +69,13 @@ def main(argv=None):
         fig, ax = plt.subplots(figsize=(2.2, 2.5) if args.fig_size is None else args.fig_size)
         T = args.T or next(iter(tables[args.metric].values())).shape[1]
         for root, label in pairs:
-            avg = tables[args.metric][root].mean(axis=0)
-            ax.plot(np.arange(1, len(avg) + 1), avg, marker="d", markersize=2, linewidth=0.7, label=label)
+            table = tables[args.metric][root]
+            avg = table.mean(axis=0)
+            stderr = table.std(axis=0) / np.sqrt(table.shape[0])
+            x = np.arange(1, len(avg) + 1)
+            ax.plot(x, avg, marker="d", markersize=2, linewidth=0.7, label=label)
+            # two standard errors ~ 95% of variation (ref summarize :40-47)
+            ax.fill_between(x, avg - 2 * stderr, avg + 2 * stderr, alpha=0.2)
         ax.set_xlabel("time steps")
         ax.set_ylabel(args.metric.upper())
         if args.range is not None:

@@ -95,7 +95,12 @@ def test_pallas_mxu_interpret_matches_direct(ks, H, W, C):
     want = sepconv_direct(x, v, h)
     with pltpu.force_tpu_interpret_mode():
         got = sepconv_pallas_mxu(x, v, h)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+    # The kernel's f32 path is an explicit 3-dot bf16 hi/lo split — the same
+    # math as XLA Precision.HIGH on a real MXU, carrying ~2^-16 per-product
+    # error (~1e-3 absolute after a ks^2=2601-tap accumulation).  Interpret
+    # mode executes the split literally, so the tolerance reflects HIGH, not
+    # exact f32 (sepconv_mxu on TPU has the same error profile).
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
 
 
 def test_pallas_mxu_custom_vjp_matches_mxu_grad():
@@ -121,6 +126,39 @@ def test_pallas_mxu_custom_vjp_matches_mxu_grad():
     gm = jax.grad(loss_m, argnums=(0, 1, 2))(x, v, h)
     for a, b in zip(gp, gm):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("ks,H,W,C", [(5, 8, 8, 1), (7, 16, 12, 3)])
+def test_pallas_bwd_kernels_match_mxu_grads(monkeypatch, ks, H, W, C):
+    """The fused Pallas adjoints (grad_x / grad_v / grad_h) must agree with
+    the XLA-AD gradients of sepconv_mxu (themselves finite-difference-checked
+    elsewhere).  Tolerance graded for the bf16 hi/lo split (HIGH-equivalent)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vfi_tpu.ops.sepconv import sepconv_pallas_mxu
+
+    monkeypatch.setenv("SEPCONV_PALLAS_BWD", "1")
+    k = jax.random.split(jax.random.PRNGKey(8), 4)
+    B = 2
+    x = _rand(k[0], (B, H + ks - 1, W + ks - 1, C))
+    v = _rand(k[1], (B, H, W, ks))
+    h = _rand(k[2], (B, H, W, ks))
+    ct = _rand(k[3], (B, H, W, C))
+
+    def loss_p(x, v, h):
+        return jnp.sum(sepconv_pallas_mxu(x, v, h) * ct)
+
+    def loss_m(x, v, h):
+        return jnp.sum(sepconv_mxu(x, v, h) * ct)
+
+    # the custom-vjp backward traces outside loss_p's body, so the interpret
+    # context must wrap the whole grad evaluation
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, v, h)
+    gm = jax.grad(loss_m, argnums=(0, 1, 2))(x, v, h)
+    for name, a, b in zip(("grad_x", "grad_v", "grad_h"), gp, gm):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
 
 
 def test_mxu_gradients_finite_difference():
