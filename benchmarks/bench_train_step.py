@@ -34,7 +34,11 @@ H = W = 128
 
 
 def build(train_dtype, B):
-    model = TAIFillInModel(gf_dim=64, c_dim=1, feature_size=3, ks=51, num_block=5)
+    # SEPCONV_IMPL=mxu|pallas_mxu forces the sepconv implementation inside the
+    # model (default: backend dispatch) for fwd/bwd ablations.
+    impl = os.environ.get("SEPCONV_IMPL") or None
+    model = TAIFillInModel(gf_dim=64, c_dim=1, feature_size=3, ks=51, num_block=5,
+                           sepconv_impl=impl)
     cfg = TrainConfig(K=K, T=T, F=F, df_dim=64, Ip=1, disc_window_size=5,
                       train_dtype=train_dtype)
     env = create_training_environment(model, cfg)

@@ -44,6 +44,9 @@ def main(argv=None):
     ap.add_argument("--snapshot_file_name", default="model_best.ckpt")
     ap.add_argument("--image_size", type=int, nargs="+", default=[128],
                     help="resolution used only for the structural shape check")
+    ap.add_argument("--df_dim", type=int, default=64,
+                    help="discriminator feature width (needed to unflatten the "
+                         "SN linear head when the checkpoint has a discriminator)")
     args = ap.parse_args(argv)
 
     from vfi_tpu.models.registry import create_model
@@ -93,7 +96,19 @@ def main(argv=None):
         if g.shape != t.shape:
             raise SystemExit(f"shape mismatch at {path}: got {g.shape}, model wants {t.shape}")
 
-    state = TrainState(step=np.asarray(counters["updates"], np.int32), g_params=params, g_opt=None)
+    # Training checkpoints also carry the discriminator (environments.py:178-194);
+    # import it so GAN training can resume (optimizers restart — Adam moments
+    # are not carried over).
+    d_params = d_sn = None
+    if "discriminator" in payload:
+        from vfi_tpu.utils.torch_import import import_discriminator_state_dict
+
+        dsd = {k: np.asarray(v) for k, v in payload["discriminator"].items()}
+        d_params, d_sn, d_report = import_discriminator_state_dict(dsd, args.df_dim)
+        print(f"discriminator import: {d_report}")
+
+    state = TrainState(step=np.asarray(counters["updates"], np.int32), g_params=params, g_opt=None,
+                       d_params=d_params, d_sn=d_sn)
     ckpt.save_snapshot(args.dest_dir, args.snapshot_file_name, state, counters)
     print(f"wrote {os.path.join(args.dest_dir, args.snapshot_file_name)} "
           f"({sum(int(np.prod(v.shape)) for _, v in got)} params, updates={counters['updates']})")

@@ -197,8 +197,9 @@ def test_model_kind_for_key():
     assert model_kind_for_key("TimeWeightedInterpolationFillInModel") == "twi"
     assert model_kind_for_key("MCNet_gray") == "mcnet"
     assert model_kind_for_key("bi_SA_gray") == "bidirectional"
+    assert model_kind_for_key("SloMoFillInModel_gray") == "slomo"
     with pytest.raises(ValueError):
-        model_kind_for_key("SuperSloMo")
+        model_kind_for_key("SCTSkipConScaledTForward")  # no published checkpoints
 
 
 def test_flow_warp_torch03_matches_grid_sample():
@@ -261,3 +262,74 @@ def test_slomo_import_forward_parity():
         else:  # [B,C,H,W] -> NHWC image
             want = want.transpose(0, 2, 3, 1)
         np.testing.assert_allclose(got, want, err_msg=key, **TOL)
+
+
+def test_discriminator_import_forward_parity():
+    """Imported reference SNDiscriminator weights + power-iteration u buffers
+    must reproduce the torch logits (enables exact GAN training resume)."""
+    from vfi_tpu.nn.discriminator import SNDiscriminator as JaxDisc
+    from vfi_tpu.utils.torch_import import import_discriminator_state_dict
+
+    df, c_dim, window = 8, 1, 3
+    B, T, H, W = 2, 5, 32, 32
+    torch.manual_seed(9)
+    tm = torch_mirror.SNDiscriminator((H, W), c_dim, window, df, Ip=1)
+    tm.eval()
+
+    rng = np.random.RandomState(13)
+    video = rng.uniform(-1, 1, (B, T, c_dim, H, W)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.tensor(video)).numpy()
+
+    params, sn, report = import_discriminator_state_dict(_state_dict_numpy(tm), df)
+    assert report.skipped == []
+    assert set(sn) == {"conv0", "conv1", "conv2", "conv3", "head"}
+
+    disc = JaxDisc(window_size=window, df_dim=df, Ip=1)
+    got = disc.apply({"params": params, "sn": sn},
+                     video.transpose(0, 1, 3, 4, 2), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, **TOL)
+
+
+def test_import_cli_with_discriminator(tmp_path):
+    """A training checkpoint with a discriminator imports d_params/d_sn for
+    GAN-training resume."""
+    from cli.import_torch_checkpoint import main as import_main
+    from vfi_tpu.utils import checkpoint as ckpt
+
+    torch.manual_seed(6)
+    gen = torch_mirror.MCNetFillInModel(8, 1, 3)
+    disc = torch_mirror.SNDiscriminator((32, 32), 1, 3, 8, Ip=1)
+    src = str(tmp_path / "model_latest_ref.ckpt")
+    torch.save({"updates": 7, "sum_avg_psnr_err": 1.0, "sum_avg_ssim_err": 1.0,
+                "generator": gen.state_dict(), "discriminator": disc.state_dict()}, src)
+
+    dest = str(tmp_path / "imported")
+    model_key = '{"class": "MCNetFillInModel", "args": [], "kwargs": {"gf_dim": 8, "c_dim": 1, "feature_size": 3}}'
+    import_main([src, "--model_key", model_key, "--dest_dir", dest,
+                 "--image_size", "32", "--df_dim", "8",
+                 "--snapshot_file_name", "model_latest.ckpt"])
+
+    # restore through a template carrying discriminator fields, the way a
+    # resuming trainer would
+    import jax
+
+    from vfi_tpu.train.environments import TrainState
+
+    model = MCNetFillInModel(gf_dim=8, c_dim=1, feature_size=3)
+    p = np.zeros((1, 2, 32, 32, 1), np.float32)
+    g_tpl = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), 2, p, p))["params"]
+    g_tpl = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), g_tpl)
+
+    from vfi_tpu.nn.discriminator import SNDiscriminator as JaxDisc
+
+    d = JaxDisc(window_size=3, df_dim=8, Ip=1)
+    d_vars = d.init(jax.random.PRNGKey(1), np.zeros((1, 5, 32, 32, 1), np.float32))
+    state, counters = ckpt.load_snapshot(
+        dest, "model_latest.ckpt",
+        TrainState(step=np.zeros((), np.int32), g_params=g_tpl, g_opt=None,
+                   d_params=d_vars["params"], d_sn=d_vars["sn"]))
+    assert int(counters["updates"]) == 7
+    # imported values must differ from the zero template (real data loaded)
+    leaf = np.asarray(jax.tree.leaves(state.d_params)[0])
+    assert np.abs(leaf).sum() > 0

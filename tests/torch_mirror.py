@@ -546,3 +546,75 @@ class SloMoFillInModel(nn.Module):
             T, preceding_frames[:, -1], following_frames[:, 0])
         return {"pred": pred, "F_0_1": F01, "F_1_0": F10,
                 "F_t_0_collector": f0, "F_t_1_collector": f1}
+
+
+# ---------------------------------------------------------------------------
+# SNDiscriminator mirror (behavioral ref: src/discriminators/SNDiscriminator.py)
+# ---------------------------------------------------------------------------
+
+
+def _l2normalize_t(v, eps=1e-12):
+    return v / (torch.sqrt(torch.sum(v**2)) + eps)
+
+
+def _max_singular_value(W, u, Ip):
+    """One-or-more-step power iteration (SNDiscriminator.py:10-25)."""
+    for _ in range(Ip):
+        v = _l2normalize_t(torch.matmul(u, W))
+        u = _l2normalize_t(torch.matmul(v, W.t()))
+    sigma = torch.sum(u * torch.matmul(v, W.t()))
+    return sigma, u
+
+
+class SNConv2dMirror(nn.Conv2d):
+    def __init__(self, c_in, c_out, k, stride, padding, Ip):
+        super().__init__(c_in, c_out, k, stride=stride, padding=padding)
+        self.Ip = Ip
+        self.register_buffer("u", torch.randn(1, c_out))
+
+    def forward(self, x):
+        W = self.weight.view(self.weight.shape[0], -1)
+        sigma, _ = _max_singular_value(W, self.u, self.Ip)
+        return TF.conv2d(x, self.weight / sigma, self.bias,
+                         stride=self.stride, padding=self.padding)
+
+
+class SNLinearMirror(nn.Linear):
+    def __init__(self, f_in, f_out, Ip):
+        super().__init__(f_in, f_out)
+        self.Ip = Ip
+        self.register_buffer("u", torch.randn(1, f_out))
+
+    def forward(self, x):
+        sigma, _ = _max_singular_value(self.weight, self.u, self.Ip)
+        return TF.linear(x, self.weight / sigma, self.bias)
+
+
+class SNDiscriminator(nn.Module):
+    """Sliding-window video discriminator with reference state_dict layout
+    (conv_layers.{0,2,4,6} + linear_layer, SNDiscriminator.py:95-159)."""
+
+    def __init__(self, img_size, c_dim, window_size, df_dim, Ip):
+        super().__init__()
+        self.window_size = window_size
+        h, w = img_size
+        layers = []
+        c_in = c_dim * window_size
+        for mult in (1, 2, 4, 8):
+            layers += [SNConv2dMirror(c_in, df_dim * mult, 4, 2, 1, Ip), nn.LeakyReLU(0.2)]
+            c_in = df_dim * mult
+            h, w = (h + 2 - 4) // 2 + 1, (w + 2 - 4) // 2 + 1
+        self.conv_layers = nn.Sequential(*layers)
+        self.num_sn_linear_in_feats = h * w * df_dim * 8
+        self.linear_layer = SNLinearMirror(self.num_sn_linear_in_feats, 1, Ip=1)
+
+    def forward(self, video):
+        """video [B, T, C, H, W] -> logits [B, T - window + 1]."""
+        B, T, C, H, W = video.shape
+        outs = []
+        for t in range(T - self.window_size + 1):
+            cur = video[:, t : t + self.window_size].contiguous().view(
+                B, self.window_size * C, H, W)
+            feat = self.conv_layers(cur).view(B, self.num_sn_linear_in_feats)
+            outs.append(self.linear_layer(feat))
+        return torch.cat(outs, dim=1)

@@ -480,35 +480,36 @@ def _sepconv_pallas_bwd_vh_raw(x, v, h, g, *, row_tile: int):
         else:
             S_b = S.astype(jnp.bfloat16)
 
-        sub = lax.broadcasted_iota(jnp.int32, (W, 1), 0)
-        gv_rows, gh_rows = [], []
+        gv_rows, A_rows = [], []
         for yy in range(TH):
-            g_row = gbuf[yy]  # [W]
             if f32_split:
                 sh, sl = x_hi[yy : yy + ks], x_lo[yy : yy + ks]
                 inner = _dot(sh, S_hi[yy]) + _dot(sl, S_hi[yy]) + _dot(sh, S_lo[yy])
                 # A[x, u] = sum_f v[x, f] * slab[f, u]   ([W, ks] x [ks, Wp])
-                shT = lax.dot_general(v_hi[yy], sh, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-                shT = shT + lax.dot_general(v_lo[yy], sh, (((1,), (0,)), ((), ())),
-                                            preferred_element_type=jnp.float32)
-                A = shT + lax.dot_general(v_hi[yy], sl, (((1,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
+                A = lax.dot_general(v_hi[yy], sh, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                A = A + lax.dot_general(v_lo[yy], sh, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                A = A + lax.dot_general(v_hi[yy], sl, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
             else:
                 slab = xbuf[yy : yy + ks]
                 inner = _dot(slab, S_b[yy])  # [ks, W]
                 A = lax.dot_general(vbuf[yy], slab, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)  # [W, Wp]
-            gv_rows.append(inner * g_row[None, :])  # [ks, W]
+            gv_rows.append(inner * gbuf[yy][None, :])  # [ks, W]
+            A_rows.append(A)
 
-            # Unskew: Ahat[x, j] = A[x, x + j] — roll row x LEFT by x lanes.
-            for k in range(n_bits):
-                shifted = pltpu.roll(A, Wp - (1 << k), axis=1)
-                A = jnp.where((sub >> k) & 1 == 1, shifted, A)
-            gh_rows.append(A[:, :ks] * g_row[:, None])  # [W, ks]
+        # Batched unskew over the whole tile: Ahat[yy, x, j] = A[yy, x, x+j] —
+        # roll row x LEFT by x lanes; masks depend only on x ([1, W, 1]).
+        A_all = jnp.stack(A_rows)  # [TH, W, Wp]
+        sub = lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+        for k in range(n_bits):
+            shifted = pltpu.roll(A_all, Wp - (1 << k), axis=2)
+            A_all = jnp.where((sub >> k) & 1 == 1, shifted, A_all)
 
         gv_ref[0] = jnp.stack(gv_rows).astype(gv_ref.dtype)
-        gh_ref[0] = jnp.stack(gh_rows).astype(gh_ref.dtype)
+        gh_ref[0] = (A_all[:, :, :ks] * gbuf[:, :, None]).astype(gh_ref.dtype)
 
     gv2, gh2 = pl.pallas_call(
         kernel,
@@ -588,7 +589,7 @@ def _sepconv_pallas_bwd_x_raw(v, h, g, *, row_tile: int):
         if f32_split:
             S_hi, S_lo = _split(S)
 
-        acc = jnp.zeros((TH + ks - 1, Wp), jnp.float32)
+        G_rows = []
         for yy in range(TH):
             gv = vbuf[yy].astype(jnp.float32) * gbuf[yy][None, :]  # [ks, W]
             if f32_split:
@@ -602,11 +603,18 @@ def _sepconv_pallas_bwd_x_raw(v, h, g, *, row_tile: int):
             else:
                 G = lax.dot_general(gv.astype(jnp.bfloat16), S[yy].astype(jnp.bfloat16),
                                     (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-            # accumulate G into local input rows [yy, yy+ks)
-            acc = jnp.concatenate(
-                [acc[:yy], acc[yy : yy + ks] + G, acc[yy + ks :]], axis=0
-            )
-        o_ref[0, 0] = acc.astype(o_ref.dtype)
+            G_rows.append(G)
+        # Overlap-add acc[yy+f] += G[yy, f]: yet another skew — pad each G_yy
+        # to the full local height, barrel-roll stack row yy DOWN by yy
+        # sublanes (log2 TH masked rolls, masks on the leading axis), then
+        # reduce over yy.
+        Gs = jnp.stack(G_rows)  # [TH, ks, Wp]
+        Gs = jnp.pad(Gs, ((0, 0), (0, TH - 1), (0, 0)))  # [TH, TH+ks-1, Wp]
+        lead = lax.broadcasted_iota(jnp.int32, (TH, 1, 1), 0)
+        for k in range(max((TH - 1).bit_length(), 1)):
+            shifted = pltpu.roll(Gs, 1 << k, axis=1)
+            Gs = jnp.where((lead >> k) & 1 == 1, shifted, Gs)
+        o_ref[0, 0] = jnp.sum(Gs, axis=0).astype(o_ref.dtype)
 
     slabs = pl.pallas_call(
         kernel,

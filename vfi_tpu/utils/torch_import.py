@@ -224,6 +224,51 @@ def import_generator_state_dict(
     return params, report
 
 
+def import_discriminator_state_dict(
+    state_dict: Mapping[str, np.ndarray], df_dim: int, dtype=np.float32
+) -> Tuple[dict, dict, ImportReport]:
+    """Convert a reference SNDiscriminator ``state_dict`` to flax params + sn.
+
+    Reference layout (SNDiscriminator.py:95-159): ``conv_layers.{0,2,4,6}``
+    SNConv2d + ``linear_layer`` SNLinear.  The linear weight flattens NCHW
+    features (c, h, w)-major; our head flattens NHWC (h, w, c)-major, so the
+    input axis is permuted accordingly.  Power-iteration ``u`` buffers are
+    carried over when present (shape [1, out] -> [out]).
+    """
+    sd = dict(state_dict)
+    params: dict = {}
+    sn: dict = {}
+    report = ImportReport()
+
+    def take(key):
+        if key not in sd:
+            raise KeyError(f"reference discriminator state_dict is missing {key}")
+        report.converted += 1
+        return np.asarray(sd.pop(key), dtype)
+
+    for i, seq in enumerate((0, 2, 4, 6)):
+        params[f"conv{i}"] = {
+            "kernel": _conv_w(take(f"conv_layers.{seq}.weight")),
+            "bias": take(f"conv_layers.{seq}.bias"),
+        }
+        ukey = f"conv_layers.{seq}.u"
+        if ukey in sd:
+            sn[f"conv{i}"] = {"sn": {"u": np.asarray(sd.pop(ukey), dtype).reshape(-1)}}
+
+    lw = take("linear_layer.weight")  # [1, in] over (c, h, w)-major features
+    C = df_dim * 8
+    hw = lw.shape[1] // C
+    side = int(round(hw**0.5))
+    assert side * side == hw, f"non-square conv output ({hw}) in linear head import"
+    lw = lw.reshape(1, C, side, side).transpose(0, 2, 3, 1).reshape(1, -1)
+    params["head"] = {"kernel": np.ascontiguousarray(lw.T), "bias": take("linear_layer.bias")}
+    if "linear_layer.u" in sd:
+        sn["head"] = {"sn": {"u": np.asarray(sd.pop("linear_layer.u"), dtype).reshape(-1)}}
+
+    report.skipped = [k for k in sd if not k.endswith("num_batches_tracked")]
+    return params, sn, report
+
+
 def model_kind_for_key(model_key: str) -> str:
     """Map a registry model_key / class name to an importer kind."""
     key = model_key
