@@ -48,38 +48,27 @@ def build(train_dtype, B):
 
 
 def time_programs(env, state, targets, iters):
+    """Chains the evolving state through the loop like a real trainer, so
+    donation works and no per-iteration state copies distort the numbers."""
     gstate = (state.g_params, state.g_opt, state.rng, state.step)
     d_frozen = (state.d_params, state.d_sn)
     dstate = (state.d_params, state.d_sn, state.d_opt)
 
-    # donate_argnums: keep a reusable copy
-    def g_once():
-        gs, pred, terms = env._g_update(
-            jax.tree.map(lambda a: a.copy() if hasattr(a, "copy") else a, gstate),
-            d_frozen, K, T, F, targets)
-        return pred, terms
-
-    pred, _ = g_once()
-    np.asarray(pred)  # compile+sync
+    gstate, pred, _ = env._g_update(gstate, d_frozen, K, T, F, targets)
+    np.asarray(pred)  # compile + sync
 
     t0 = time.perf_counter()
     out = None
     for _ in range(iters):
-        out, _ = g_once()
+        gstate, out, _ = env._g_update(gstate, d_frozen, K, T, F, targets)
     np.asarray(out)
     g_ms = (time.perf_counter() - t0) / iters * 1000
 
-    def d_once(pred):
-        ds, terms = env._d_update(
-            jax.tree.map(lambda a: a.copy() if hasattr(a, "copy") else a, dstate),
-            pred, K, T, F, targets)
-        return terms
-
-    terms = d_once(pred)
+    dstate, terms = env._d_update(dstate, pred, K, T, F, targets)
     np.asarray(terms["D_fake"])
     t0 = time.perf_counter()
     for _ in range(iters):
-        terms = d_once(pred)
+        dstate, terms = env._d_update(dstate, pred, K, T, F, targets)
     np.asarray(terms["D_fake"])
     d_ms = (time.perf_counter() - t0) / iters * 1000
     return g_ms, d_ms

@@ -17,7 +17,11 @@ def _cm2in(x):
 
 def _draw_avg(ax, table, label):
     avg = table.mean(axis=0)
-    ax.plot(np.arange(1, len(avg) + 1), avg, marker="d", markersize=2, linewidth=0.7, label=label)
+    stderr = table.std(axis=0) / np.sqrt(table.shape[0])
+    x = np.arange(1, len(avg) + 1)
+    ax.plot(x, avg, marker="d", markersize=2, linewidth=0.7, label=label)
+    # two standard errors ~ 95% of variation (ref summarize :40-47)
+    ax.fill_between(x, avg - 2 * stderr, avg + 2 * stderr, alpha=0.2)
 
 
 def main(argv=None):

@@ -219,3 +219,20 @@ def test_pad_for_sepconv():
     # replication on the top-left corner
     assert p[0, 0, 0, 0] == x[0, 0, 0, 0]
     assert p[0, -1, -1, 0] == x[0, -1, -1, 0]
+
+
+def test_dispatch_defaults_per_backend(monkeypatch):
+    """sepconv() picks the fused Pallas kernel on TPU and the exact-f32 XLA
+    banded matmul elsewhere."""
+    import importlib
+
+    sc = importlib.import_module("vfi_tpu.ops.sepconv")
+
+    calls = []
+    monkeypatch.setattr(sc, "sepconv_mxu", lambda *a: calls.append("mxu"))
+    monkeypatch.setattr(sc, "sepconv_pallas_mxu", lambda *a: calls.append("pallas_mxu"))
+    monkeypatch.setattr(sc.jax, "default_backend", lambda: "cpu")
+    sc.sepconv(None, None, None)
+    monkeypatch.setattr(sc.jax, "default_backend", lambda: "tpu")
+    sc.sepconv(None, None, None)
+    assert calls == ["mxu", "pallas_mxu"]
