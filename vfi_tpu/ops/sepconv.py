@@ -673,12 +673,15 @@ def _pick_row_tile_bwd(H: int) -> int:
 
 
 def _use_pallas_bwd() -> bool:
+    """Default OFF: inside the full train step XLA's AD of the banded matmul
+    fuses with surrounding work and matches (f32) or beats (bf16, ~7%) the
+    fused adjoint kernels — measured B=8 bi-TAI: XLA-AD bwd 158 ms/step bf16
+    vs fused 169 ms (f32 205 vs 204).  The fused adjoints remain available
+    via SEPCONV_PALLAS_BWD=1 for standalone-gradient workloads where the
+    einsum AD's HBM-materialized residuals hit the scheduler pathology."""
     import os
 
-    flag = os.environ.get("SEPCONV_PALLAS_BWD")
-    if flag in ("0", "1"):
-        return flag == "1"
-    return jax.default_backend() == "tpu"
+    return os.environ.get("SEPCONV_PALLAS_BWD") == "1"
 
 
 def _sepconv_mxu_bwd(res, grad):
