@@ -1,1 +1,8 @@
-from .sepconv import sepconv, sepconv_direct, sepconv_mxu, sepconv_pallas, pad_for_sepconv  # noqa: F401
+from .sepconv import (  # noqa: F401
+    pad_for_sepconv,
+    sepconv,
+    sepconv_direct,
+    sepconv_mxu,
+    sepconv_pallas,
+    sepconv_pallas_mxu,
+)

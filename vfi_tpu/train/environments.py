@@ -64,7 +64,9 @@ class BaseEnvironment:
     def init_state(self, rng: jax.Array, sample_targets: np.ndarray, K: int, T: int, F: int) -> TrainState:
         p, _, f = split_batch(jnp.asarray(sample_targets), K, T, F)
         g_rng, d_rng, s_rng = jax.random.split(rng, 3)
-        g_vars = self.model.init(g_rng, T, p, f)
+        # jitted init: unjitted flax init dispatches hundreds of individual
+        # ops — hundreds of RPCs over a remote-TPU tunnel (CLAUDE.md gotcha)
+        g_vars = jax.jit(self.model.init, static_argnums=1)(g_rng, T, p, f)
         g_params = g_vars.get("params", {})
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
