@@ -182,3 +182,26 @@ def test_dynamic_slomo_matches_static_losses():
         np.testing.assert_allclose(
             float(m_dyn[key]), float(m_static[key]), rtol=2e-4, atol=1e-5, err_msg=key
         )
+
+
+def test_dynamic_step_mixed_precision_close_to_f32():
+    """--train_dtype bfloat16 on the DYNAMIC path: f32 master params, bf16
+    compute; losses stay close to the f32 run (the cast was silently skipped
+    before round 2)."""
+    model = TAIFillInModel(gf_dim=8, c_dim=1, ks=5, num_block=5, kf_dim=4)
+    targets = _targets()
+    K, T, F = 2, 2, 2
+    metrics = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = TrainConfig(K=MAX_K, T=MAX_T, F=MAX_F, df_dim=8, Ip=1,
+                          disc_window_size=2, train_dtype=dt)
+        env = DynamicTAIEnvironment(model, cfg)
+        state = env.init_state(jax.random.PRNGKey(0), targets, MAX_K, MAX_T, MAX_F)
+        _, m = env.train_step_dynamic(state, jnp.asarray(targets), jnp.asarray([K, T, F]))
+        metrics[dt] = m
+        # master params must stay f32 regardless of compute dtype
+        assert jax.tree.leaves(state.g_params)[0].dtype == jnp.float32
+    for key in ("G_Lp", "G_gdl", "G_GAN", "D_fake", "D_real"):
+        a = float(metrics["float32"][key])
+        b = float(metrics["bfloat16"][key])
+        assert abs(a - b) < 0.05 * max(1.0, abs(a)), (key, a, b)

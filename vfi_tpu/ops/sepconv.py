@@ -13,7 +13,7 @@ computes exactly this accumulation in NCHW layout with kernels stored as
 ``[B, ks, H, W]``.  We use NHWC / kernels-last ``[B, H, W, ks]`` so that the
 ``ks`` and ``W`` dimensions land on TPU lanes.)
 
-Three interchangeable implementations live here:
+Four interchangeable implementations live here:
 
   * :func:`sepconv_direct` — O(ks^2) elementwise accumulation in pure XLA.
     Simple, obviously correct; used as the ground truth in tests.
@@ -22,10 +22,15 @@ Three interchangeable implementations live here:
     of the FLOPs run on the systolic array; the vertical pass is a cheap
     multiply-reduce.  Fully differentiable through XLA AD (the gradient is
     again matmuls).  This is the default on all backends.
-  * :func:`sepconv_pallas` — a fused Pallas TPU kernel (forward) that keeps
-    the input slab, both kernel stacks and the accumulator in VMEM, avoiding
-    all HBM round-trips of intermediates.  Wrapped in ``jax.custom_vjp`` whose
-    backward is the (XLA-AD-derived) gradient of :func:`sepconv_mxu`.
+  * :func:`sepconv_pallas` — a fused Pallas VPU kernel (forward) that keeps
+    the input slab, both kernel stacks and the accumulator in VMEM.  Wrapped
+    in ``jax.custom_vjp`` whose backward is the XLA-AD gradient of
+    :func:`sepconv_mxu`.
+  * :func:`sepconv_pallas_mxu` — the v2 fused MXU kernel (TPU default): the
+    banded matrix is built in VMEM by a log-barrel-shift skew, pre-transposed
+    for MXU-native per-row matmuls.  Its custom VJP picks between fused
+    Pallas adjoint kernels (large batches, no S residual in HBM) and XLA AD
+    (small batches, fuses with surrounding work) by residual size.
 
 The public entry point :func:`sepconv` dispatches to the best implementation
 for the current backend.
@@ -44,6 +49,7 @@ the implicit per-dot operand transposes were most of the gap.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Literal
 
 import jax
@@ -672,22 +678,31 @@ def _pick_row_tile_bwd(H: int) -> int:
     return 1
 
 
-def _use_pallas_bwd() -> bool:
-    """Default OFF: inside the full train step XLA's AD of the banded matmul
-    fuses with surrounding work and matches (f32) or beats (bf16, ~7%) the
-    fused adjoint kernels — measured B=8 bi-TAI: XLA-AD bwd 158 ms/step bf16
-    vs fused 169 ms (f32 205 vs 204).  The fused adjoints remain available
-    via SEPCONV_PALLAS_BWD=1 for standalone-gradient workloads where the
-    einsum AD's HBM-materialized residuals hit the scheduler pathology."""
-    import os
+# Above this S-materialization size the XLA-AD backward's HBM residuals
+# (S + slabs, recomputed inside the bwd) risk OOM / scheduler pathology;
+# below it, XLA-AD fuses with surrounding work and matches or beats the
+# fused adjoints (B=8 bi-TAI: AD 158 ms/step bf16 vs fused 169; f32 tie).
+# B=16 f32 OOMed a 16 GB v5e through the AD path (S alone ~933 MB).
+_PALLAS_BWD_BYTES_THRESHOLD = 512 * 1024**2
 
-    return os.environ.get("SEPCONV_PALLAS_BWD") == "1"
+
+def _use_pallas_bwd(v_shape, itemsize) -> bool:
+    flag = os.environ.get("SEPCONV_PALLAS_BWD")
+    if flag in ("0", "1"):
+        return flag == "1"
+    B, H, W, ks = v_shape
+    s_bytes = B * H * W * (W + ks - 1) * itemsize
+    return s_bytes > _PALLAS_BWD_BYTES_THRESHOLD
 
 
 def _sepconv_mxu_bwd(res, grad):
-    """Fused-kernel adjoints on TPU; XLA AD of sepconv_mxu elsewhere."""
+    """Memory-aware backward: fused Pallas adjoints when the XLA-AD path's S
+    residual would be large (see _PALLAS_BWD_BYTES_THRESHOLD); XLA AD of
+    sepconv_mxu otherwise (faster at small batch, where it fuses)."""
     x, v, h = res
-    if not _use_pallas_bwd():
+    if jax.default_backend() != "tpu" and os.environ.get("SEPCONV_PALLAS_BWD") != "1":
+        return _sepconv_bwd(res, grad)
+    if not _use_pallas_bwd(v.shape, x.dtype.itemsize):
         return _sepconv_bwd(res, grad)
     TH = _pick_row_tile_bwd(v.shape[1])
     gv, gh = _sepconv_pallas_bwd_vh_raw(x, v, h, grad, row_tile=TH)

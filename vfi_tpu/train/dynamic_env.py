@@ -59,7 +59,13 @@ class DynamicKTFMixin:
     def _g_loss_dyn(self, g_params, d_params, d_sn, rng, step, K, T, F, targets):
         c = self.cfg
         p, m, f = pack_context(targets, K, T, F, c.K, c.T, c.F)
+        # mixed precision: same compute cast as the static path (_g_loss)
+        g_params = self._compute_cast(g_params)
+        p, f = self._compute_cast((p, f))
         out = self._g_forward_dyn(g_params, rng, step, K, T, F, p, m, f)
+        out = jax.tree.map(lambda a: a.astype(jnp.float32), out)
+        p = p.astype(jnp.float32)
+        f = f.astype(jnp.float32)
         tmask = middle_mask(T, c.T)[None, :]
 
         pred01 = inverse_transform(out["pred"])
@@ -91,6 +97,8 @@ class DynamicKTFMixin:
 
     def _d_loss_dyn(self, d_params, d_sn, pred, p, m, f, K, T, F):
         c = self.cfg
+        d_params = self._compute_cast(d_params)
+        p, m, f, pred = self._compute_cast((p, m, f, pred))
         fake = compact_video(p, jax.lax.stop_gradient(pred), f, K, T, F)
         real = compact_video(p, m, f, K, T, F)
         labels, valid = dynamic_window_labels(K, T, F, fake.shape[1], c.disc_window_size)
@@ -175,6 +183,7 @@ class DynamicSCTEnvironment(DynamicKTFMixin, SCTEnvironment):
     """
 
     def _g_forward_dyn(self, g_params, rng, step, K, T, F, p, m, f):
+        m = self._compute_cast(m)  # teacher-forced decoder inputs follow p/f
         tf_rng, sample_rng = jax.random.split(rng)
         use_tf = jax.random.uniform(tf_rng) < self.tf_rate(step)
 

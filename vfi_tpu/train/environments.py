@@ -285,6 +285,7 @@ class SCTEnvironment(L2GDLDiscEnvironment):
         return (c.tf_p_min - c.tf_p_max) * sig + c.tf_p_max
 
     def _g_forward(self, g_params, rng, step, T, p, m, f):
+        m = self._compute_cast(m)  # teacher-forced decoder inputs follow p/f
         tf_rng, sample_rng = jax.random.split(rng)
         use_tf = jax.random.uniform(tf_rng) < self.tf_rate(step)
 
