@@ -205,3 +205,49 @@ def test_dynamic_step_mixed_precision_close_to_f32():
         a = float(metrics["float32"][key])
         b = float(metrics["bfloat16"][key])
         assert abs(a - b) < 0.05 * max(1.0, abs(a)), (key, a, b)
+
+
+def test_dynamic_sct_inward_matches_static():
+    """Inward's ends-inward generation order is deterministic, so the dynamic
+    path must reproduce the static forward at the same lengths."""
+    from vfi_tpu.models.sct import SCTSkipConScaledTInwardFillInModel
+
+    model = SCTSkipConScaledTInwardFillInModel(c_dim=1, num_blocks=1, num_heads=2, d_v=16, d_ff=32)
+    t = jnp.asarray(_targets())
+    K, T, F = 2, 3, 2
+    variables = model.init(jax.random.PRNGKey(0), MAX_T, t[:, :MAX_K], t[:, -MAX_F:])
+
+    static = model.apply(variables, T, t[:, :K], t[:, K + T : K + T + F])
+    p, m, f = pack_context(t, jnp.int32(K), jnp.int32(T), jnp.int32(F), MAX_K, MAX_T, MAX_F)
+    dyn = model.apply(variables, MAX_T, p, f,
+                      lengths=(jnp.int32(K), jnp.int32(T), jnp.int32(F)))
+    np.testing.assert_allclose(
+        np.asarray(dyn["pred"][:, :T]), np.asarray(static["pred"]), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_dynamic_sct_random_variants_finite_and_trainable():
+    """Random/RandomB sample their generation order, so dynamic == static is
+    not meaningful; assert the dynamic env trains them (finite losses, one
+    compiled program for different lengths)."""
+    from vfi_tpu.models.sct import (
+        SCTSkipConScaledTRandomBFillInModel,
+        SCTSkipConScaledTRandomFillInModel,
+    )
+    from vfi_tpu.train.dynamic_env import DynamicSCTEnvironment, create_dynamic_environment
+
+    targets = _targets()
+    for cls in (SCTSkipConScaledTRandomFillInModel, SCTSkipConScaledTRandomBFillInModel):
+        model = cls(c_dim=1, num_blocks=1, num_heads=2, d_v=16, d_ff=32)
+        cfg = TrainConfig(K=MAX_K, T=MAX_T, F=MAX_F, df_dim=8, Ip=1, disc_window_size=2)
+        env = create_dynamic_environment(model, cfg)
+        assert isinstance(env, DynamicSCTEnvironment)
+        state = env.init_state(jax.random.PRNGKey(0), targets, MAX_K, MAX_T, MAX_F)
+        _, m1 = env.train_step_dynamic(state, jnp.asarray(targets), jnp.asarray([2, 2, 2]))
+        assert np.isfinite(float(m1["G_loss"])), cls.__name__
+        g_before = env._g_update_dyn._cache_size()
+        _, m2 = env.train_step_dynamic(
+            env.init_state(jax.random.PRNGKey(1), targets, MAX_K, MAX_T, MAX_F),
+            jnp.asarray(targets), jnp.asarray([3, 1, 2]))
+        assert np.isfinite(float(m2["G_loss"])), cls.__name__
+        assert env._g_update_dyn._cache_size() == g_before

@@ -143,6 +143,22 @@ class BaseSCTFillInModel(nn.Module):
         return x
 
     # -- shared context encoding --------------------------------------------
+    def _context_times(self, max_K, max_F, dt, lengths):
+        """(t_pre, t_fol, mask_pre, mask_fol) for the padded context buffers."""
+        if lengths is None:
+            t_pre = jnp.arange(max_K, dtype=dt) / max_K
+            t_fol = jnp.arange(max_F, dtype=dt) / max_F + 2.0
+            return t_pre, t_fol, jnp.ones((max_K,), dt), jnp.ones((max_F,), dt)
+        K, _, F = lengths
+        Kf, Ff = jnp.asarray(K, dt), jnp.asarray(F, dt)
+        iK = jnp.arange(max_K)
+        mask_pre = (iK >= max_K - K).astype(dt)
+        t_pre = (iK.astype(dt) - (max_K - Kf)) / Kf * mask_pre
+        iF = jnp.arange(max_F)
+        mask_fol = (iF < F).astype(dt)
+        t_fol = (iF.astype(dt) / Ff + 2.0) * mask_fol
+        return t_pre, t_fol, mask_pre, mask_fol
+
     def _context(self, preceding, following, lengths=None):
         """Encode the K+F context frames.
 
@@ -153,22 +169,10 @@ class BaseSCTFillInModel(nn.Module):
         B, max_K = preceding.shape[:2]
         max_F = following.shape[1]
         dt = preceding.dtype
-        if lengths is None:
-            t_pre = jnp.arange(max_K, dtype=dt) / max_K
-            t_fol = jnp.arange(max_F, dtype=dt) / max_F + 2.0
-            enc_mask = jnp.ones((B, max_K + max_F), dt)
-        else:
-            K, _, F = lengths
-            Kf, Ff = jnp.asarray(K, dt), jnp.asarray(F, dt)
-            iK = jnp.arange(max_K)
-            mask_pre = (iK >= max_K - K).astype(dt)
-            t_pre = (iK.astype(dt) - (max_K - Kf)) / Kf * mask_pre
-            iF = jnp.arange(max_F)
-            mask_fol = (iF < F).astype(dt)
-            t_fol = (iF.astype(dt) / Ff + 2.0) * mask_fol
-            enc_mask = jnp.broadcast_to(
-                jnp.concatenate([mask_pre, mask_fol])[None], (B, max_K + max_F)
-            )
+        t_pre, t_fol, mask_pre, mask_fol = self._context_times(max_K, max_F, dt, lengths)
+        enc_mask = jnp.broadcast_to(
+            jnp.concatenate([mask_pre, mask_fol])[None], (B, max_K + max_F)
+        )
         enc_time = jnp.broadcast_to(jnp.concatenate([t_pre, t_fol])[None], (B, max_K + max_F))
         frames = jnp.concatenate([preceding, following], axis=1)
         reps = self.encode_frames(frames)
@@ -235,29 +239,50 @@ class SCTSkipConScaledTForwardFillInModel(BaseSCTFillInModel):
 
 class SCTSkipConScaledTInwardFillInModel(BaseSCTFillInModel):
     """Ends-inward generation order: first, last, second, second-to-last, ...
-    (self_attention.py:258-327)."""
+    (self_attention.py:258-327).  Dynamic lengths supported: the order values
+    are a closed form of the step index (even s -> s/2, odd s -> T-(s+1)/2),
+    so a traced T just changes the values; garbage steps (s >= T) generate
+    after every valid step (causal-safe) and resort to the tail."""
 
-    def __call__(self, T: int, preceding, following) -> Dict[str, Any]:
+    def __call__(self, T: int, preceding, following, lengths=None) -> Dict[str, Any]:
         B = preceding.shape[0]
-        enc_out, enc_mask = self._context(preceding, following)
-        a = jnp.arange(0, T, 0.5, dtype=preceding.dtype)
-        b = jnp.arange(T - 0.5, -0.25, -0.5, dtype=preceding.dtype)
-        mask = jnp.arange(2 * T) % 2
-        order_times = ((1 - mask) * a + mask * b)[:T]
-        dec_times = jnp.broadcast_to((order_times / T + 1.0)[None], (B, T))
+        dt = preceding.dtype
+        enc_out, enc_mask = self._context(preceding, following, lengths)
+        s = jnp.arange(T)
+        Tr = jnp.asarray(lengths[1] if lengths is not None else T, dt)
+        order_times = jnp.where(s % 2 == 0, s // 2, Tr - (s + 1) // 2).astype(dt)
+        dec_times = jnp.broadcast_to((order_times / Tr + 1.0)[None], (B, T))
+        if lengths is not None:
+            # garbage steps (s >= runtime T) must resort AFTER the valid ones
+            dec_times = jnp.where((s < lengths[1])[None], dec_times, 1e6 + s[None].astype(dt))
         pred_perm = self._decode_with_times(T, preceding, enc_out, enc_mask, dec_times)
         return {"pred": self._resort(pred_perm, dec_times)}
 
 
 class SCTSkipConScaledTRandomFillInModel(BaseSCTFillInModel):
-    """Random generation order, re-sorted afterwards (self_attention.py:330-397)."""
+    """Random generation order, re-sorted afterwards (self_attention.py:330-397).
 
-    def __call__(self, T: int, preceding, following) -> Dict[str, Any]:
+    Dynamic lengths: a uniform permutation of the runtime-T valid steps is
+    drawn by rank-ordering random uniforms over the valid positions (invalid
+    positions rank last), so shapes stay static."""
+
+    def __call__(self, T: int, preceding, following, lengths=None) -> Dict[str, Any]:
         B = preceding.shape[0]
-        enc_out, enc_mask = self._context(preceding, following)
+        dt = preceding.dtype
+        enc_out, enc_mask = self._context(preceding, following, lengths)
         rng = self.make_rng("sample")
-        perms = jax.vmap(lambda k: jax.random.permutation(k, T))(jax.random.split(rng, B))
-        dec_times = perms.astype(preceding.dtype) / T + 1.0
+        if lengths is None:
+            perms = jax.vmap(lambda k: jax.random.permutation(k, T))(jax.random.split(rng, B))
+            dec_times = perms.astype(dt) / T + 1.0
+        else:
+            Tr = jnp.asarray(lengths[1], dt)
+            s = jnp.arange(T)
+            r = jax.random.uniform(rng, (B, T))
+            r = jnp.where((s < lengths[1])[None], r, jnp.inf)
+            # rank of each valid step among valid steps = a uniform permutation
+            ranks = jnp.argsort(jnp.argsort(r, axis=1), axis=1).astype(dt)
+            dec_times = ranks / Tr + 1.0
+            dec_times = jnp.where((s < lengths[1])[None], dec_times, 1e6 + s[None].astype(dt))
         pred_perm = self._decode_with_times(T, preceding, enc_out, enc_mask, dec_times)
         return {"pred": self._resort(pred_perm, dec_times)}
 
@@ -272,18 +297,39 @@ class SCTSkipConScaledTRandomBFillInModel(BaseSCTFillInModel):
         dec_out = self.decoder(enc_out, enc_mask, dec_reps[-1], dec_time, prod_mask)
         return self.decode_frames(dec_out, dec_reps)
 
-    def __call__(self, T: int, preceding, following) -> Dict[str, Any]:
+    def __call__(self, T: int, preceding, following, lengths=None) -> Dict[str, Any]:
         B, K = preceding.shape[:2]
         F = following.shape[1]
         dt = preceding.dtype
-        t_pre = jnp.broadcast_to((jnp.arange(K, dtype=dt) / K)[None], (B, K))
-        t_fol = jnp.broadcast_to((jnp.arange(F, dtype=dt) / F + 2.0)[None], (B, F))
+        t_pre1, t_fol1, mask_pre, mask_fol = self._context_times(K, F, dt, lengths)
+        t_pre = jnp.broadcast_to(t_pre1[None], (B, K))
+        t_fol = jnp.broadcast_to(t_fol1[None], (B, F))
+        ctx_mask = jnp.broadcast_to(jnp.concatenate([mask_pre, mask_fol])[None], (B, K + F))
 
         reps_p = self.encode_frames(preceding)
         reps_f = self.encode_frames(following)
 
         rng = self.make_rng("sample")
-        perms = jax.vmap(lambda k: jax.random.permutation(k, T))(jax.random.split(rng, B))
+        step_idx = jnp.arange(T)
+        if lengths is None:
+            perms = jax.vmap(lambda k: jax.random.permutation(k, T))(jax.random.split(rng, B)).astype(dt)
+            Tr = jnp.asarray(T, dt)
+            step_valid = jnp.ones((T,), dt)
+        else:
+            # uniform permutation of the runtime-T valid steps via rank
+            # ordering (invalid positions rank last); garbage steps generate
+            # after every valid one and carry huge times so they resort last
+            r = jax.random.uniform(rng, (B, T))
+            r = jnp.where((step_idx < lengths[1])[None], r, jnp.inf)
+            perms = jnp.argsort(jnp.argsort(r, axis=1), axis=1).astype(dt)
+            Tr = jnp.asarray(lengths[1], dt)
+            step_valid = (step_idx < lengths[1]).astype(dt)
+
+        def step_time(t):
+            base = perms[:, t : t + 1] / Tr + 1.0
+            if lengths is None:
+                return base
+            return jnp.where(step_valid[t] > 0, base, 1e6 + float(t))
 
         preds: List[jax.Array] = []
         mid_top_reps: List[jax.Array] = []
@@ -298,16 +344,19 @@ class SCTSkipConScaledTRandomBFillInModel(BaseSCTFillInModel):
                 mid_top_reps.append(last_pred_reps[-1])
                 enc_in = jnp.concatenate([reps_p[-1], reps_f[-1]] + mid_top_reps, axis=1)
                 enc_time = jnp.concatenate([t_pre, t_fol] + mid_times, axis=1)
-            enc_mask = jnp.ones((B, K + F + t), dt)
+            # appended generated frames are valid iff their step was valid
+            enc_mask = jnp.concatenate(
+                [ctx_mask, jnp.broadcast_to(step_valid[None, :t], (B, t))], axis=1
+            )
             enc_out = self.encoder(enc_in, enc_mask, enc_time)
 
-            next_idx = perms[:, t : t + 1].astype(dt)  # [B, 1]
-            mid_times.append(next_idx / T + 1.0)
+            mid_times.append(jnp.where(step_valid[t] > 0, perms[:, t : t + 1] / Tr + 1.0, 0.0)
+                             if lengths is not None else perms[:, t : t + 1] / Tr + 1.0)
             dec_reps = self.encode_frames(preceding[:, -1:]) if t == 0 else last_pred_reps
-            preds.append(self._step_decode(enc_out, enc_mask, dec_reps, next_idx / T + 1.0))
+            preds.append(self._step_decode(enc_out, enc_mask, dec_reps, step_time(t)))
 
         pred_perm = jnp.concatenate(preds, axis=1)
-        dec_times = jnp.concatenate(mid_times, axis=1)
+        dec_times = jnp.concatenate([step_time(t) for t in range(T)], axis=1)
         return {"pred": self._resort(pred_perm, dec_times)}
 
 

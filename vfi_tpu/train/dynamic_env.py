@@ -185,6 +185,12 @@ class DynamicSCTEnvironment(DynamicKTFMixin, SCTEnvironment):
     def _g_forward_dyn(self, g_params, rng, step, K, T, F, p, m, f):
         m = self._compute_cast(m)  # teacher-forced decoder inputs follow p/f
         tf_rng, sample_rng = jax.random.split(rng)
+        if not hasattr(self.model, "forward_train"):
+            # Inward/Random variants have no teacher-forced pass; free-run
+            return self.model.apply(
+                {"params": g_params}, self.cfg.T, p, f, lengths=(K, T, F),
+                rngs={"sample": sample_rng},
+            )
         use_tf = jax.random.uniform(tf_rng) < self.tf_rate(step)
 
         def forced(_):
@@ -277,10 +283,9 @@ class DynamicSloMoEnvironment:
 def create_dynamic_environment(model, cfg):
     """Dynamic-(K,T,F) counterpart of create_training_environment.
 
-    Covered families: TAI/TWI/bi-SA/bi-TWA, MCNet, SloMo, and the SCT Forward
-    lineage (Forward/Bypass/FrameEncDecBN, incl. teacher forcing).  Returns
-    None for the SCT Inward/Random variants (their generation-order machinery
-    needs static T) — the trainer falls back to per-combination compilation.
+    Covered families: TAI/TWI/bi-SA/bi-TWA, MCNet, SloMo, and ALL SCT
+    variants — the Forward lineage teacher-forces; Inward/Random free-run
+    with runtime-T generation orders.
     """
     from ..models.fill_in import (
         BidirectionalSimpleAverageFillInModel,
@@ -308,10 +313,11 @@ def create_dynamic_environment(model, cfg):
     except ImportError:
         pass
     try:
-        from ..models.sct import SCTSkipConScaledTForwardFillInModel
+        from ..models.sct import BaseSCTFillInModel
 
-        # Covers the Bypass and FrameEncDecBN subclasses too.
-        if isinstance(model, SCTSkipConScaledTForwardFillInModel):
+        # The Forward lineage teacher-forces; Inward/Random free-run with
+        # runtime-T generation orders (models/sct.py dynamic-order support).
+        if isinstance(model, BaseSCTFillInModel):
             return DynamicSCTEnvironment(model, cfg)
     except ImportError:
         pass

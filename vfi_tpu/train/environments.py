@@ -287,6 +287,10 @@ class SCTEnvironment(L2GDLDiscEnvironment):
     def _g_forward(self, g_params, rng, step, T, p, m, f):
         m = self._compute_cast(m)  # teacher-forced decoder inputs follow p/f
         tf_rng, sample_rng = jax.random.split(rng)
+        if not hasattr(self.model, "forward_train"):
+            # only the Forward lineage defines the teacher-forced pass
+            # (self_attention.py:194-255); other variants always free-run
+            return self.model.apply({"params": g_params}, T, p, f, rngs={"sample": sample_rng})
         use_tf = jax.random.uniform(tf_rng) < self.tf_rate(step)
 
         # lax.cond: only the chosen branch executes at runtime (the reference
