@@ -11,7 +11,19 @@ import os
 
 
 def setup_jax(cache_dir: str | None = None) -> None:
+    """Enable the persistent compile cache for accelerator runs.
+
+    Forced-CPU runs skip it: CPU compiles take seconds, and XLA's cache key
+    does not include the host's CPU features, so a cache shared with a
+    remote-compile TPU workflow can serve CPU-AOT executables built for a
+    DIFFERENT machine — observed as "machine type doesn't match" error spam
+    and a ~30 s first step even on toy models.
+    """
     import jax
+
+    platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    if platforms.split(",")[0].strip() == "cpu":
+        return
 
     cache_dir = cache_dir or os.environ.get(
         "VFI_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/vfi_tpu_xla")
