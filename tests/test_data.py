@@ -99,3 +99,21 @@ def test_native_loader_matches_python_pipeline(clips):
     assert nat.shape == py.shape
     # resize algorithms differ at the rounding level (~1 uint8 LSB)
     assert np.abs(nat - py).max() < 0.02
+
+
+def test_batch_iterator_rejects_undersized_dataset():
+    """4 items with batch_size=8 + drop_last would silently spin forever
+    (every chunk dropped); must raise instead."""
+    import pytest
+
+    from vfi_tpu.data.datasets import batch_iterator
+
+    class FakeDs:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise AssertionError("should not be reached")
+
+    with pytest.raises(ValueError, match="drop_last"):
+        next(batch_iterator(FakeDs(), 8, True, True, loop=True))

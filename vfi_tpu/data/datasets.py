@@ -282,6 +282,13 @@ def batch_iterator(
     try:
         rng = random.Random(seed)
         order = list(range(len(dataset)))[shard_index::num_shards]
+        if drop_last and len(order) < batch_size:
+            # Would otherwise spin forever yielding nothing (every chunk is
+            # dropped) — observed as a silent infinite loop in the prefetcher.
+            raise ValueError(
+                f"dataset shard has {len(order)} items but batch_size={batch_size} "
+                f"with drop_last=True would never yield a batch"
+            )
         while True:
             idxs = order[:]
             if shuffle:
