@@ -120,7 +120,9 @@ def main():
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    # B=24 is the measured single-chip sweet spot with the fused Pallas
+    # sepconv (bf16: B=16 966 f/s < B=24 1024 f/s > B=32 893 f/s).
+    batch = int(os.environ.get("BENCH_BATCH", "24"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     fps, dt = measure_fps(batch, iters)
     log(f"bi-TAI B={batch}: {dt * 1000:.1f} ms/batch -> {fps:.1f} middle-frames/sec")
