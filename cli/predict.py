@@ -101,7 +101,12 @@ def main(argv=None):
     K, T, F = opt.K, opt.T, opt.F
     H, W = opt.image_size
     n_done = 0
-    for batch in batch_iterator(ds, opt.batch_size, False, False):
+    from vfi_tpu.data.prefetch import Prefetcher
+
+    batches = Prefetcher(
+        batch_iterator(ds, opt.batch_size, False, False, num_workers=opt.num_threads), depth=2
+    )
+    for batch in batches:
         targets = batch["targets"]
         preceding = targets[:, :K]
         following = targets[:, -F:]

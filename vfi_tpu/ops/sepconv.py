@@ -21,7 +21,7 @@ Four interchangeable implementations live here:
     a banded-matrix matmul built with a row-skewing reshape trick, so the bulk
     of the FLOPs run on the systolic array; the vertical pass is a cheap
     multiply-reduce.  Fully differentiable through XLA AD (the gradient is
-    again matmuls).  This is the default on all backends.
+    again matmuls).  The default off-TPU, and the small-batch backward.
   * :func:`sepconv_pallas` — a fused Pallas VPU kernel (forward) that keeps
     the input slab, both kernel stacks and the accumulator in VMEM.  Wrapped
     in ``jax.custom_vjp`` whose backward is the XLA-AD gradient of
