@@ -17,3 +17,20 @@ import jax  # noqa: E402
 # (e.g. the axon TPU tunnel) — pin explicitly before any backend is touched.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound in-process compiled-program accumulation.
+
+    A full-suite run (~115 tests, hundreds of compiled CPU executables)
+    reproducibly segfaulted inside jaxlib during a late donation-heavy train
+    step; every file-level subset passes.  Dropping the compilation caches at
+    module teardown keeps the runtime far from whatever resource threshold
+    the crash needs (each module mostly compiles its own programs anyway).
+    """
+    yield
+    jax.clear_caches()
