@@ -6,12 +6,13 @@ Prints ONE JSON line:
    "unit": "frames/sec/chip", "vs_baseline": <speedup vs single-core CPU proxy>}
 
 The BASELINE.json target is >= 50x the *reference's* CPU frames/sec.  The
-PyTorch-0.3/Python-2.7 reference cannot run in this image, so the baseline is
-a conservative proxy: THIS framework's own XLA-compiled bi-TAI on one CPU
-core (an XLA-optimized CPU build is far faster than the reference's Python
-loops + unvectorized THC CPU path, so the reported speedup understates the
-true advantage).  The CPU proxy number is measured once in a subprocess and
-cached in benchmarks/cpu_baseline.json.
+PyTorch-0.3/Python-2.7 reference cannot run in this image; the baseline is a
+measured single-core run of the faithful modern-torch mirror of the reference
+forward (tests/torch_mirror.py, parity-gated in PARITY_r03 — see
+benchmarks/bench_torch_cpu.py).  A secondary, more conservative proxy (this
+framework's own XLA-CPU build, which is faster than torch) is also cached.
+Both numbers live in benchmarks/cpu_baseline.json; vs_baseline uses the torch
+measurement.
 """
 
 import json
@@ -83,6 +84,22 @@ def measure_fps(batch, iters, warmup=2):
     return batch * T / dt, dt
 
 
+def torch_cpu_fps():
+    """The honest baseline: the torch mirror of the reference bi-TAI forward,
+    one CPU core (measured once by benchmarks/bench_torch_cpu.py)."""
+    if os.path.isfile(CACHE):
+        with open(CACHE) as fh:
+            data = json.load(fh)
+        if "torch_cpu_fps" in data:
+            return data["torch_cpu_fps"]
+    log("measuring torch-CPU baseline (one-time)...")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks", "bench_torch_cpu.py")],
+        capture_output=True, text=True, timeout=3600,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])["value"]
+
+
 def cpu_proxy_fps():
     if os.path.isfile(CACHE):
         with open(CACHE) as fh:
@@ -128,23 +145,31 @@ def main():
     log(f"bi-TAI B={batch}: {dt * 1000:.1f} ms/batch -> {fps:.1f} middle-frames/sec")
 
     try:
-        cpu_fps = cpu_proxy_fps()
+        torch_fps = torch_cpu_fps()
+    except Exception as e:  # noqa: BLE001
+        log(f"torch baseline failed: {e}")
+        torch_fps = None
+    try:
+        proxy_fps = cpu_proxy_fps()
     except Exception as e:  # noqa: BLE001
         log(f"cpu proxy failed: {e}")
-        cpu_fps = None
+        proxy_fps = None
 
-    vs = fps / cpu_fps if cpu_fps else None
+    base = torch_fps or proxy_fps
+    vs = fps / base if base else None
     print(
         json.dumps(
             {
                 "metric": f"bi-TAI KTH128 inference (K=F=T=5, gray, {_bench_dtype()})",
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
-                # the denominator is this framework's own single-core XLA CPU
-                # build (a conservative proxy; see module docstring) — NOT the
-                # PyTorch reference, which cannot run in this image
+                # denominator: measured 1-core torch run of the faithful
+                # reference-forward mirror (tests/torch_mirror.py, parity-gated
+                # in PARITY_r03); falls back to the conservative XLA-CPU proxy
                 "vs_baseline": round(vs, 2) if vs else None,
-                "baseline": "own-XLA-single-core-CPU proxy (f32)",
+                "baseline": ("torch-CPU-1-core reference mirror (f32)"
+                             if torch_fps else "own-XLA-single-core-CPU proxy (f32)"),
+                "vs_xla_cpu_proxy": round(fps / proxy_fps, 2) if proxy_fps else None,
                 "dtype": _bench_dtype(),
                 "batch": batch,
             }
