@@ -27,7 +27,7 @@ setup_jax()
 
 from vfi_tpu.data.datasets import ContiguousVideoClipDataset, batch_iterator
 from vfi_tpu.models.registry import create_model
-from vfi_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+from vfi_tpu.parallel.mesh import allgather_rows, make_mesh, replicate_state, shard_batch
 from vfi_tpu.train.environments import create_training_environment
 from vfi_tpu.utils import checkpoint as ckpt
 from vfi_tpu.utils.config import TrainConfig, build_train_parser, listopt, parse_args
@@ -61,43 +61,58 @@ def visualize_predictions(env, state, ds, K, T, F, batch_size):
 
 def compute_errors(env, state, loader, K, T, F, mesh=None):
     """Validation sweep: batched on-device PSNR/SSIM/L2 curves
-    (replaces train.py:237-287); full batches shard over the data mesh."""
+    (replaces train.py:237-287).
+
+    Single-process: full batches shard over the data mesh.  Multi-process:
+    the caller hands each host its own videolist shard, metrics run on the
+    host's local devices, and the per-video curves are merged across hosts
+    with ``allgather_rows`` so every process sees the identical global sweep.
+    """
+    multiproc = jax.process_count() > 1
     psnrs, ssims, l2s = [], [], []
     for batch in loader:
         targets = batch["targets"]
-        if mesh is not None and mesh.devices.size > 1 and len(targets) % mesh.devices.size == 0:
+        if (not multiproc and mesh is not None and mesh.devices.size > 1
+                and len(targets) % mesh.devices.size == 0):
             targets = shard_batch(mesh, {"targets": targets})["targets"]
         m = env.eval_metrics(state.g_params, K, T, F, targets)
         psnrs.append(np.asarray(m["psnr"]))
         ssims.append(np.asarray(m["ssim"]))
         l2s.append(np.asarray(m["l2"]))
-    return np.concatenate(psnrs), np.concatenate(ssims), np.concatenate(l2s)
+    out = (np.concatenate(psnrs), np.concatenate(ssims), np.concatenate(l2s))
+    if multiproc:
+        out = tuple(allgather_rows(a) for a in out)
+    return out
 
 
 def main(argv=None):
     opt = parse_args(build_train_parser(), argv)
-    expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
-    os.makedirs(expr_dir, exist_ok=True)
-    tb_dir = os.path.join(opt.tensorboard_dir, opt.name)
-    os.makedirs(tb_dir, exist_ok=True)
-
-    listopt(opt)
-    with open(os.path.join(expr_dir, "train_opt.txt"), "w") as f:
-        listopt(opt, f)
-    writer = make_writer(tb_dir)
-    if writer:
-        # options as a markdown table (reference train.py:34 / util.py:264-274)
-        rows = "\n".join(f"{k} | {v}" for k, v in sorted(vars(opt).items()))
-        writer.add_text("args", "Key | Value\n--- | ---\n" + rows)
 
     # Multi-host: initialize the process group when launched under a
     # multi-process TPU runtime (SURVEY.md §5.8 — the TPU-native replacement
     # for NCCL/MPI init; XLA collectives ride ICI/DCN from the shardings).
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
+    is_main = jax.process_index() == 0
+
+    expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
+    tb_dir = os.path.join(opt.tensorboard_dir, opt.name)
+    writer = None
+    if is_main:
+        os.makedirs(expr_dir, exist_ok=True)
+        os.makedirs(tb_dir, exist_ok=True)
+        listopt(opt)
+        with open(os.path.join(expr_dir, "train_opt.txt"), "w") as f:
+            listopt(opt, f)
+        writer = make_writer(tb_dir)
+    if writer:
+        # options as a markdown table (reference train.py:34 / util.py:264-274)
+        rows = "\n".join(f"{k} | {v}" for k, v in sorted(vars(opt).items()))
+        writer.add_text("args", "Key | Value\n--- | ---\n" + rows)
 
     mesh = make_mesh(opt.mesh_shape)
-    print(f"devices: {jax.device_count()} mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+    if is_main:
+        print(f"devices: {jax.device_count()} mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
     seq_len = opt.K + opt.T + opt.F
     train_ds = ContiguousVideoClipDataset(
@@ -116,7 +131,8 @@ def main(argv=None):
         ),
         depth=2,
     )
-    print(f"# training videos = {len(train_ds)}")
+    if is_main:
+        print(f"# training videos = {len(train_ds)}")
 
     def val_loader(path, t_mid, k, f):
         if path is None:
@@ -173,7 +189,8 @@ def main(argv=None):
     sample_targets = np.asarray(jax.device_get(prep_targets(sample["targets"])))
     state = env.init_state(jax.random.PRNGKey(opt.seed), sample_targets, opt.K, opt.T, opt.F)
     n_params = sum(x.size for x in jax.tree.leaves(state.g_params))
-    print(f"# generator params = {n_params/1e6:.2f}M")
+    if is_main:
+        print(f"# generator params = {n_params/1e6:.2f}M")
 
     total_updates = 0
     best_sum_psnr, best_sum_ssim = 0.0, 0.0
@@ -214,7 +231,8 @@ def main(argv=None):
             dt = (time.time() - t_start) / opt.print_freq
             t_start = time.time()
             msg = " ".join(f"{k}: {float(v):.4f}" for k, v in sorted(errors.items()))
-            print(f"iter {total_updates} ({dt*1000:.0f} ms/it) {msg}")
+            if is_main:
+                print(f"iter {total_updates} ({dt*1000:.0f} ms/it) {msg}")
             if writer:
                 for k, v in errors.items():
                     writer.add_scalar(f"loss/{k}", float(v), total_updates)
@@ -232,7 +250,7 @@ def main(argv=None):
                 grid = visual_grid(vis, K, T)
                 writer.add_image("train_vis", grid.transpose(2, 0, 1), total_updates)
 
-        if total_updates % opt.save_latest_freq == 0:
+        if total_updates % opt.save_latest_freq == 0 and is_main:
             counters = {
                 "updates": total_updates,
                 "sum_avg_psnr_err": best_sum_psnr,
@@ -245,7 +263,11 @@ def main(argv=None):
             for tag, (ds, k, t_mid, f) in val_sets.items():
                 if ds is None:
                     continue
-                loader = batch_iterator(ds, opt.batch_size, False, False)
+                # Per-host validation sharding: each process sweeps its own
+                # videolist shard; compute_errors allgathers the curves.
+                loader = batch_iterator(ds, opt.batch_size, False, False,
+                                        num_shards=jax.process_count(),
+                                        shard_index=jax.process_index())
                 psnr_c, ssim_c, _ = compute_errors(env, state, loader, k, t_mid, f, mesh)
                 if writer:
                     writer.add_scalar(f"{tag}/avg_psnr", float(psnr_c.mean()), total_updates)
@@ -259,12 +281,18 @@ def main(argv=None):
                     if vis_ds is not None and len(vis_ds) > 0:
                         grid = visualize_predictions(env, state, vis_ds, k, t_mid, f, opt.batch_size)
                         writer.add_image(f"samples/{tag}", grid.transpose(2, 0, 1), total_updates)
-                print(f"[{tag}] iter {total_updates}: psnr {psnr_c.mean():.3f} ssim {ssim_c.mean():.4f}")
+                if is_main:
+                    print(f"[{tag}] iter {total_updates}: psnr {psnr_c.mean():.3f} ssim {ssim_c.mean():.4f}")
                 if tag == "val":
                     sum_psnr = float(psnr_c.mean(axis=0).sum())
                     sum_ssim = float(ssim_c.mean(axis=0).sum())
                     if sum_ssim > best_sum_ssim:
+                        # curves are global after allgather_rows, so every
+                        # process takes this branch consistently; only the
+                        # main process writes.
                         best_sum_psnr, best_sum_ssim = sum_psnr, sum_ssim
+                        if not is_main:
+                            continue
                         ckpt.save_snapshot(
                             expr_dir,
                             "model_best.ckpt",
@@ -273,7 +301,8 @@ def main(argv=None):
                         )
                         print(f"new best (sum ssim {sum_ssim:.4f}) -> model_best.ckpt")
 
-    print("training done")
+    if is_main:
+        print("training done")
 
 
 if __name__ == "__main__":

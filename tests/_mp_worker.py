@@ -1,0 +1,98 @@
+"""Worker process for the 2-process x 4-device CPU `jax.distributed` dryrun.
+
+Launched by tests/test_multiprocess.py (and scripts/dryrun_multiprocess.py):
+each process owns 4 virtual CPU devices and a DIFFERENT process-local batch
+shard; the global mesh spans all 8 devices across both processes.  Exercises
+the true multi-host path (VERDICT r2 item 4):
+
+  * `shard_batch` -> `jax.make_array_from_process_local_data` assembly of the
+    global batch from host-local numpy,
+  * `replicate_state` of host-identical params onto the global mesh,
+  * one full GAN train step jitted over the 2-process mesh (the gradient
+    all-reduce crosses the process boundary),
+  * `allgather_rows` merging of uneven per-host validation sweeps.
+
+Prints one JSON line `MPRESULT {...}` on success.
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    coord, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+
+    flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append("--xla_force_host_platform_device_count=4")
+    os.environ["XLA_FLAGS"] = " ".join(flags)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=coord, num_processes=nproc,
+                               process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.local_devices()) == 4
+    assert jax.device_count() == 4 * nproc
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from vfi_tpu.models.fill_in import TAIFillInModel
+    from vfi_tpu.parallel.mesh import allgather_rows, make_mesh, replicate_state, shard_batch
+    from vfi_tpu.train.environments import create_training_environment
+    from vfi_tpu.utils.config import TrainConfig
+
+    K = T = F = 2
+    H = W = 32
+    local_B = 4  # -> global batch 8 over the 2-process mesh
+
+    model = TAIFillInModel(gf_dim=8, c_dim=1, ks=5, num_block=5, kf_dim=4)
+    cfg = TrainConfig(K=K, T=T, F=F, df_dim=8, Ip=1, disc_window_size=3)
+    env = create_training_environment(model, cfg)
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+    # Process-local shard: DIFFERENT data per process (the loader would hand
+    # each host its own videolist shard).
+    rng = np.random.RandomState(100 + pid)
+    local = rng.uniform(-1, 1, (local_B, K + T + F, H, W, 1)).astype(np.float32)
+
+    # init on host-identical data so params start equal on both processes
+    init_rng = np.random.RandomState(0)
+    init_batch = init_rng.uniform(-1, 1, (local_B, K + T + F, H, W, 1)).astype(np.float32)
+    state = env.init_state(jax.random.PRNGKey(0), init_batch, K, T, F)
+    state = replicate_state(mesh, state)
+
+    targets = shard_batch(mesh, {"targets": local})["targets"]
+    assert targets.shape[0] == local_B * nproc, targets.shape
+    state, m = env.train_step(state, K, T, F, targets)
+    state, m = env.train_step(state, K, T, F, targets)
+    g_loss = float(np.asarray(m["G_loss"]))
+    assert np.isfinite(g_loss)
+
+    # Params must remain bitwise identical across processes after the
+    # cross-process gradient all-reduce.
+    leaf = np.asarray(jax.device_get(jax.tree.leaves(state.g_params)[0]))
+    from jax.experimental import multihost_utils
+
+    both = np.asarray(multihost_utils.process_allgather(leaf))
+    assert np.array_equal(both[0], both[1]), "params diverged across processes"
+
+    # Uneven per-host val sweep: pid 0 contributes 3 rows, pid 1 contributes 2.
+    rows = np.full((3 - pid, T), float(pid), np.float32)
+    merged = allgather_rows(rows)
+    assert merged.shape == (5, T), merged.shape
+    assert sorted(merged[:, 0].tolist()) == [0.0, 0.0, 0.0, 1.0, 1.0]
+
+    print("MPRESULT " + json.dumps({
+        "pid": pid, "G_loss": g_loss, "global_batch": int(targets.shape[0]),
+        "devices": jax.device_count(), "ok": True,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

