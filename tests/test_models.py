@@ -122,3 +122,30 @@ def test_registry_json_literal():
         '"kwargs": {"gf_dim": 8, "c_dim": 1, "ks": 5, "num_block": 5}}'
     )
     assert m.gf_dim == 8 and m.ks == 5
+
+
+def test_scan_rollout_matches_unrolled():
+    """MCNet(scan_rollout=True) — the lax.scan formulation of rollout steps
+    1..T-1 — must reproduce the unrolled rollout on identical params, for both
+    the plain and the masked-warmup (dynamic-KTF) paths."""
+    from vfi_tpu.nn.mcnet import MCNet
+
+    rng = jax.random.PRNGKey(0)
+    B, K, T_, H, W = 2, 4, 3, 32, 32
+    diff = jax.random.normal(rng, (B, K - 1, H, W, 1))
+    xt = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 1))
+    unrolled = MCNet(gf_dim=8, c_dim=1)
+    variables = unrolled.init(jax.random.PRNGKey(7), T_, diff, xt)
+    scanned = MCNet(gf_dim=8, c_dim=1, scan_rollout=True)
+
+    out_u = unrolled.apply(variables, T_, diff, xt)
+    out_s = scanned.apply(variables, T_, diff, xt)
+    for name, a, b in zip(out_u._fields, out_u, out_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+
+    skip = jnp.asarray([1, 0])
+    out_us = unrolled.apply(variables, T_, diff, xt, skip)
+    out_ss = scanned.apply(variables, T_, diff, xt, skip)
+    np.testing.assert_allclose(np.asarray(out_us.pred), np.asarray(out_ss.pred),
+                               rtol=1e-5, atol=1e-6)

@@ -61,10 +61,11 @@ class BidirectionalMCNetModel(nn.Module):
     feature_size: int = 3
     forget_bias: float = 1.0
     remat: bool = False  # gradient-checkpoint rollout submodules (memory/compute trade)
+    scan_rollout: bool = False  # lax.scan rollout body (see nn/mcnet.py)
 
     def setup(self):
         self.mcnet = MCNet(self.gf_dim, self.c_dim, self.feature_size, self.forget_bias,
-                           remat=self.remat)
+                           remat=self.remat, scan_rollout=self.scan_rollout)
 
     def bidirectional_rollout(self, T, preceding, following, lengths=None) -> tuple[RolloutStep, RolloutStep]:
         """Run both MC-Net streams.
@@ -238,10 +239,11 @@ class MCNetFillInModel(nn.Module):
     feature_size: int = 3
     forget_bias: float = 1.0
     remat: bool = False
+    scan_rollout: bool = False
 
     def setup(self):
         self.mcnet = MCNet(self.gf_dim, self.c_dim, self.feature_size, self.forget_bias,
-                           remat=self.remat)
+                           remat=self.remat, scan_rollout=self.scan_rollout)
 
     def __call__(self, T: int, preceding, following, lengths=None) -> Dict[str, Any]:
         del following

@@ -127,6 +127,10 @@ class MCNet(nn.Module):
     remat: bool = False  # gradient-checkpoint the per-step submodules
                          # (trade ~33% recompute for O(T) -> O(1) rollout
                          # activation memory; enables larger batches/res)
+    scan_rollout: bool = False  # express rollout steps 1..T-1 as one
+                                # lax.scan body (compile-time win on the big
+                                # program; runtime-neutral — see CLAUDE.md
+                                # round-3 measurements before flipping default)
 
     def setup(self):
         def maybe_remat(cls):
@@ -164,10 +168,18 @@ class MCNet(nn.Module):
 
         # Warm-up: the reference runs motion-enc + LSTM over the K-1 observed
         # difference frames; the last step's (h_dyn, res_m) seed prediction t=0.
-        h_dyn = res_m = None
+        # All warm-up difference frames are known upfront, so MotionEnc runs as
+        # ONE batched call over B*(K-1) (the convs are per-sample independent —
+        # exact same numbers, far better MXU utilization than K-1 sequential
+        # calls); only the cheap 16x16 ConvLSTM chain stays sequential.
+        flat = diff_in.reshape((B * Km1,) + diff_in.shape[2:])
+        enc_all, res_all = self.motion_enc(flat)
+        enc_all = enc_all.reshape((B, Km1) + enc_all.shape[1:])
+        res_m = tuple(r.reshape((B, Km1) + r.shape[1:])[:, -1] for r in res_all)
+
+        h_dyn = None
         for t in range(Km1):
-            enc_h, res_m = self.motion_enc(diff_in[:, t])
-            new_h_dyn, new_state = self.conv_lstm(enc_h, state)
+            new_h_dyn, new_state = self.conv_lstm(enc_all[:, t], state)
             if warmup_skip is None:
                 h_dyn, state = new_h_dyn, new_state
             else:
@@ -175,23 +187,52 @@ class MCNet(nn.Module):
                 state = valid * new_state + (1.0 - valid) * state
                 h_dyn = new_h_dyn  # overwritten by the (always valid) last step
 
-        steps = []
-        for t in range(T):
-            h_cont, res_c = self.content_enc(xt)
-            h_tpl = self.comb_layers(h_dyn, h_cont)
-            r1 = self.residual1(res_m[0], res_c[0])
-            r2 = self.residual2(res_m[1], res_c[1])
-            r3 = self.residual3(res_m[2], res_c[2])
-            x_hat = self.dec_cnn(h_tpl, r1, r2, r3)
-            steps.append(RolloutStep(x_hat, h_dyn, h_cont, r1, r2, r3))
+        def predict(mod, xt, h_dyn, res_m):
+            """The t-th prediction given the current motion context.  Takes the
+            module explicitly so the nn.scan body uses the scan-transformed
+            instance, not the outer ``self``."""
+            h_cont, res_c = mod.content_enc(xt)
+            h_tpl = mod.comb_layers(h_dyn, h_cont)
+            r1 = mod.residual1(res_m[0], res_c[0])
+            r2 = mod.residual2(res_m[1], res_c[1])
+            r3 = mod.residual3(res_m[2], res_c[2])
+            x_hat = mod.dec_cnn(h_tpl, r1, r2, r3)
+            return RolloutStep(x_hat, h_dyn, h_cont, r1, r2, r3)
 
-            if t + 1 < T:
-                # Next motion input: grayscale difference between the newly
-                # predicted frame and the previous content frame
-                # (reference mcnet.py:438-449).
-                new_diff = to_gray_frames(x_hat) - to_gray_frames(xt)
-                enc_h, res_m = self.motion_enc(new_diff)
-                h_dyn, state = self.conv_lstm(enc_h, state)
-                xt = x_hat
+        step0 = predict(self, xt, h_dyn, res_m)
+
+        if self.scan_rollout and T > 1:
+            # Steps 1..T-1 as one scan body (motion update at the START of the
+            # step, so step 0 peels off and no trailing motion step is wasted).
+            def body(mod, carry, _):
+                state, xt_prev, x_hat = carry
+                new_diff = to_gray_frames(x_hat) - to_gray_frames(xt_prev)
+                enc_h, res_m = mod.motion_enc(new_diff)
+                h_dyn, state = mod.conv_lstm(enc_h, state)
+                step = predict(mod, x_hat, h_dyn, res_m)
+                return (state, x_hat, step.pred), step
+
+            scan = nn.scan(
+                body,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                length=T - 1,
+            )
+            _, rest = scan(self, (state, xt, step0.pred), None)
+            return RolloutStep(
+                *(jnp.concatenate([a[None], b]) for a, b in zip(step0, rest))
+            )
+
+        steps = [step0]
+        for t in range(1, T):
+            # Next motion input: grayscale difference between the newly
+            # predicted frame and the previous content frame
+            # (reference mcnet.py:438-449).
+            x_hat = steps[-1].pred
+            new_diff = to_gray_frames(x_hat) - to_gray_frames(xt)
+            enc_h, res_m = self.motion_enc(new_diff)
+            h_dyn, state = self.conv_lstm(enc_h, state)
+            xt = x_hat
+            steps.append(predict(self, xt, h_dyn, res_m))
 
         return RolloutStep(*(jnp.stack(f) for f in zip(*steps)))
