@@ -37,8 +37,10 @@ def build(train_dtype, B):
     # SEPCONV_IMPL=mxu|pallas_mxu forces the sepconv implementation inside the
     # model (default: backend dispatch) for fwd/bwd ablations.
     impl = os.environ.get("SEPCONV_IMPL") or None
+    # REMAT=1: gradient-checkpoint the rollout submodules (memory for compute)
     model = TAIFillInModel(gf_dim=64, c_dim=1, feature_size=3, ks=51, num_block=5,
-                           sepconv_impl=impl)
+                           sepconv_impl=impl,
+                           remat=os.environ.get("REMAT", "0") == "1")
     cfg = TrainConfig(K=K, T=T, F=F, df_dim=64, Ip=1, disc_window_size=5,
                       train_dtype=train_dtype)
     env = create_training_environment(model, cfg)
@@ -91,11 +93,13 @@ def cost_stats(env, state, targets):
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    for dtype in ("float32", "bfloat16"):
+    dtypes = os.environ.get("TS_DTYPES", "float32,bfloat16").split(",")
+    remat_tag = " remat" if os.environ.get("REMAT", "0") == "1" else ""
+    for dtype in dtypes:
         env, state, targets = build(dtype, B)
         g_ms, d_ms = time_programs(env, state, targets, iters)
         stats = cost_stats(env, state, targets) if os.environ.get("COST_ANALYSIS") else {}
-        print(json.dumps({"metric": f"bi-TAI train step B={B} {dtype}",
+        print(json.dumps({"metric": f"bi-TAI train step B={B} {dtype}{remat_tag}",
                           "G_ms": round(g_ms, 1), "D_ms": round(d_ms, 1),
                           "total_ms": round(g_ms + d_ms, 1), **stats}))
 

@@ -347,9 +347,19 @@ def _sepconv_pallas_mxu_raw(x: jax.Array, v: jax.Array, h: jax.Array, *, row_til
     # costs 6 MXU passes and measured slower than the XLA einsum).
     f32_split = x.dtype != jnp.bfloat16
 
+    # Kernel-operand layout: the tap-major [B, H, ks, W] host-side moveaxis
+    # forces XLA to materialize chained relayout copies of the four kernel
+    # heads right before the custom call (profiled at 5.6 ms/iter B=24 /
+    # 13.5 ms/iter B=32 bf16 inference — the main cause of the B=32
+    # regression).  native_layout instead ships v/h exactly as produced
+    # ([B, H, W, ks]) and transposes each [W, ks] tile to tap-major in VMEM.
+    native_layout = os.environ.get("SEPCONV_NATIVE_LAYOUT", "1") == "1"
     x2 = jnp.moveaxis(x, 3, 1).reshape(B * C, H + ks - 1, Wp)
-    vt = jnp.moveaxis(v, 3, 2)  # [B, H, ks, W] tap-major (sublane reduction)
-    ht = jnp.moveaxis(h, 3, 2)  # [B, H, ks, W] tap-major (skewed along sublanes)
+    if native_layout:
+        vt, ht = v, h  # [B, H, W, ks] — as produced by the kernel heads
+    else:
+        vt = jnp.moveaxis(v, 3, 2)  # [B, H, ks, W] tap-major (sublane reduction)
+        ht = jnp.moveaxis(h, 3, 2)  # [B, H, ks, W] tap-major (skew along sublanes)
     if C > 1:
         vt = jnp.repeat(vt, C, axis=0)
         ht = jnp.repeat(ht, C, axis=0)
@@ -370,8 +380,14 @@ def _sepconv_pallas_mxu_raw(x: jax.Array, v: jax.Array, h: jax.Array, *, row_til
 
     def kernel(x_ref, h_ref, v_ref, o_ref):
         xbuf = x_ref[0, 0]  # [TH+ks-1, Wp]
-        hbuf = h_ref[0]  # [TH, ks, W] tap-major
-        vbuf = v_ref[0]  # [TH, ks, W] tap-major
+        if native_layout:
+            # [TH, W, ks] -> [TH, ks, W] tap-major, transposed tile-locally in
+            # VMEM (cheap) instead of by HBM relayout copies outside the call.
+            hbuf = jnp.swapaxes(h_ref[0], 1, 2)
+            vbuf = jnp.swapaxes(v_ref[0], 1, 2)
+        else:
+            hbuf = h_ref[0]  # [TH, ks, W] tap-major
+            vbuf = v_ref[0]  # [TH, ks, W] tap-major
 
         # --- step 1: log-barrel skew  S[yy, u, x] = h[yy, x, u-x] ------------
         # Build S pre-transposed: pad the tap (sublane) axis to Wp, then roll
@@ -404,13 +420,14 @@ def _sepconv_pallas_mxu_raw(x: jax.Array, v: jax.Array, h: jax.Array, *, row_til
             rows.append(jnp.sum(inner * vbuf[yy].astype(jnp.float32), axis=0))
         o_ref[0] = jnp.stack(rows).astype(o_ref.dtype)
 
+    kb = (1, TH, W, ks) if native_layout else (1, TH, ks, W)
     out2 = pl.pallas_call(
         kernel,
         grid=(N, nt),
         in_specs=[
             pl.BlockSpec((1, 1, TH + ks - 1, Wp), lambda n, i: (n, i, 0, 0)),
-            pl.BlockSpec((1, TH, ks, W), lambda n, i: (n, i, 0, 0)),
-            pl.BlockSpec((1, TH, ks, W), lambda n, i: (n, i, 0, 0)),
+            pl.BlockSpec(kb, lambda n, i: (n, i, 0, 0)),
+            pl.BlockSpec(kb, lambda n, i: (n, i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, TH, W), lambda n, i: (n, i, 0)),
         out_shape=jax.ShapeDtypeStruct((N, H, W), x.dtype),
