@@ -13,6 +13,19 @@ donation-heavy bi-TAI GAN train step.  Exit codes:
                no-clear run crashed)
   -11/other    crash reproduced -> stock-jaxlib bug, record alongside versions
 
+ROUND-3 FINDINGS (2026-08-17, jax 0.8.x, 1-core CPU host):
+  * 300 synthetic tiny-program compiles + 6 donation-heavy GAN steps: NO CRASH
+    — executable-count churn alone is not the trigger.
+  * Deterministic repro: `VFI_NO_CLEAR_CACHES=1 python -m pytest tests/ -q`
+    segfaults after ~110 tests.  faulthandler stack: SIGSEGV **inside
+    jax/_src/compiler.py:362 backend_compile_and_load** — i.e. during XLA:CPU
+    COMPILATION of a fresh program (test_train_step init_state), not during
+    execution and not in repo code.  The trigger is accumulated in-process
+    compiler state from hundreds of LARGE programs (the earlier "donation-heavy
+    step" attribution was wrong — the donation step merely sits late in the
+    suite).  Upstream jaxlib bug; tests/conftest.py's per-module
+    jax.clear_caches() keeps the accumulation bounded and remains the fix.
+
 Usage:
   python scripts/repro_segfault.py [--programs N] [--clear]
 """

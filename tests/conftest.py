@@ -31,6 +31,11 @@ def _clear_jax_caches_between_modules():
     step; every file-level subset passes.  Dropping the compilation caches at
     module teardown keeps the runtime far from whatever resource threshold
     the crash needs (each module mostly compiles its own programs anyway).
+
+    ``VFI_NO_CLEAR_CACHES=1`` disables the mitigation — used to re-test
+    whether the underlying jaxlib crash still exists (scripts/repro_segfault.py
+    could not reproduce it with synthetic compile churn alone).
     """
     yield
-    jax.clear_caches()
+    if not os.environ.get("VFI_NO_CLEAR_CACHES"):
+        jax.clear_caches()
