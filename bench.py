@@ -137,9 +137,10 @@ def main():
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
-    # B=24 is the measured single-chip sweet spot with the fused Pallas
-    # sepconv (bf16: B=16 966 f/s < B=24 1024 f/s > B=32 893 f/s).
-    batch = int(os.environ.get("BENCH_BATCH", "24"))
+    # B=48 is the measured single-chip sweet spot with the fused Pallas
+    # sepconv + tap-major kernel-head layout (bf16 interleaved A/B, r3:
+    # B=24 990 < B=48 1036 f/s; B=32 is a local dip at ~888).
+    batch = int(os.environ.get("BENCH_BATCH", "48"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     fps, dt = measure_fps(batch, iters)
     log(f"bi-TAI B={batch}: {dt * 1000:.1f} ms/batch -> {fps:.1f} middle-frames/sec")

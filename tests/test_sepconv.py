@@ -236,3 +236,43 @@ def test_dispatch_defaults_per_backend(monkeypatch):
     monkeypatch.setattr(sc.jax, "default_backend", lambda: "tpu")
     sc.sepconv(None, None, None)
     assert calls == ["mxu", "pallas_mxu"]
+
+
+def test_pallas_mxu_native_layout_opt_in(monkeypatch):
+    """SEPCONV_NATIVE_LAYOUT=1 ships v/h as produced ([B,H,W,ks]) and
+    transposes in VMEM; must agree with the default tap-major path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vfi_tpu.ops.sepconv import sepconv_direct, sepconv_pallas_mxu
+
+    ks, H, W, C = 7, 8, 32, 3
+    k = jax.random.split(jax.random.PRNGKey(11), 3)
+    x = _rand(k[0], (2, H + ks - 1, W + ks - 1, C))
+    v = _rand(k[1], (2, H, W, ks))
+    h = _rand(k[2], (2, H, W, ks))
+    want = sepconv_direct(x, v, h)
+    monkeypatch.setenv("SEPCONV_NATIVE_LAYOUT", "1")
+    with pltpu.force_tpu_interpret_mode():
+        got = sepconv_pallas_mxu(x, v, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_mxu_wide_image_column_tiling():
+    """W > 128 triggers the round-3 column-tiled path (pad W to a multiple of
+    128, grid over column tiles, slice the zero-padded tail).  W=160 forces
+    padding to 256 and nw=2."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vfi_tpu.ops.sepconv import sepconv_direct, sepconv_pallas_mxu
+
+    ks, H, W, C = 11, 16, 160, 1
+    k = jax.random.split(jax.random.PRNGKey(9), 3)
+    B = 2
+    x = _rand(k[0], (B, H + ks - 1, W + ks - 1, C))
+    v = _rand(k[1], (B, H, W, ks))
+    h = _rand(k[2], (B, H, W, ks))
+    want = sepconv_direct(x, v, h)
+    with pltpu.force_tpu_interpret_mode():
+        got = sepconv_pallas_mxu(x, v, h)
+    assert got.shape == (B, H, W, C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)

@@ -338,22 +338,48 @@ def _sepconv_pallas_mxu_raw(x: jax.Array, v: jax.Array, h: jax.Array, *, row_til
     B, H, W, C, ks = _check_shapes(x, v, h)
     TH = row_tile
     assert H % TH == 0, f"H={H} must be divisible by row_tile={TH}"
+
+    # Column tiling (round 3): wide images (UCF/HMDB 320, ImageNet-VID) blow
+    # the 16 MB scoped-VMEM stack with a full-width S, and Mosaic requires
+    # lane-dim blocks of 128 — so for W > 128 the output columns are tiled at
+    # TW=128 (W zero-padded up to a multiple; padded kernel columns are zero,
+    # so padded outputs are zero and get sliced off).  The skew is position-
+    # independent, so each column tile runs the identical kernel.
+    W_in = W
+    if W > 128:
+        TW = 128
+        pad_w = (-W) % TW
+        if pad_w:
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
+            h = jnp.pad(h, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
+            W = W + pad_w
+    else:
+        TW = W
+    nw = W // TW
     Wp = W + ks - 1
+    TWp = TW + ks - 1
     nt = H // TH
-    n_bits = max((W - 1).bit_length(), 1)
+    n_bits = max((TW - 1).bit_length(), 1)
 
     # f32 runs as an explicit 3-dot bf16 hi/lo split (the same math as XLA's
     # Precision.HIGH, which Mosaic's dot lowering does not expose; HIGHEST
     # costs 6 MXU passes and measured slower than the XLA einsum).
     f32_split = x.dtype != jnp.bfloat16
 
-    # Kernel-operand layout: the tap-major [B, H, ks, W] host-side moveaxis
-    # forces XLA to materialize chained relayout copies of the four kernel
-    # heads right before the custom call (profiled at 5.6 ms/iter B=24 /
-    # 13.5 ms/iter B=32 bf16 inference — the main cause of the B=32
-    # regression).  native_layout instead ships v/h exactly as produced
-    # ([B, H, W, ks]) and transposes each [W, ks] tile to tap-major in VMEM.
-    native_layout = os.environ.get("SEPCONV_NATIVE_LAYOUT", "1") == "1"
+    # Kernel-operand layout.  Two options, A/B'd on hardware (r3):
+    #   0 (default): host-side moveaxis to tap-major [B, H, ks, W].  XLA
+    #     materializes relayout copies before the custom call (5.6 ms/iter
+    #     B=24 / 13.5 B=32 bf16 in the inference profile), but fuses them
+    #     into the producing convs well enough that the full program wins.
+    #   1: ship v/h exactly as produced ([B, H, W, ks]) and swapaxes each
+    #     [W, ks] tile to tap-major in VMEM.  Wins the STANDALONE kernel
+    #     microbench (bf16 6.0 vs 7.1 ms, f32 10.4 vs 14.1 at BT=40) but
+    #     loses the full bi-TAI inference program: interleaved same-process
+    #     A/B measured 932 vs 990 f/s (B=24) and 860 vs 888 (B=32) — the
+    #     in-VMEM transpose serializes with the MXU work, while the host
+    #     relayout overlaps with surrounding fusions.
+    native_layout = os.environ.get("SEPCONV_NATIVE_LAYOUT", "0") == "1"
     x2 = jnp.moveaxis(x, 3, 1).reshape(B * C, H + ks - 1, Wp)
     if native_layout:
         vt, ht = v, h  # [B, H, W, ks] — as produced by the kernel heads
@@ -364,7 +390,16 @@ def _sepconv_pallas_mxu_raw(x: jax.Array, v: jax.Array, h: jax.Array, *, row_til
         vt = jnp.repeat(vt, C, axis=0)
         ht = jnp.repeat(ht, C, axis=0)
     N = B * C
-    xt = jnp.stack([x2[:, i * TH : i * TH + TH + ks - 1] for i in range(nt)], axis=1)
+    xt = jnp.stack(
+        [
+            jnp.stack(
+                [x2[:, i * TH : i * TH + TH + ks - 1, j * TW : j * TW + TWp] for j in range(nw)],
+                axis=1,
+            )
+            for i in range(nt)
+        ],
+        axis=1,
+    )  # [N, nt, nw, TH+ks-1, TWp] — overlapping row/col tiles
 
     def _dot(a, b):
         # [ks, Wp] x [Wp, W] -> [ks, W]: lhs contraction on lanes, rhs on
@@ -379,28 +414,28 @@ def _sepconv_pallas_mxu_raw(x: jax.Array, v: jax.Array, h: jax.Array, *, row_til
         return hi, lo
 
     def kernel(x_ref, h_ref, v_ref, o_ref):
-        xbuf = x_ref[0, 0]  # [TH+ks-1, Wp]
+        xbuf = x_ref[0, 0, 0]  # [TH+ks-1, TWp]
         if native_layout:
-            # [TH, W, ks] -> [TH, ks, W] tap-major, transposed tile-locally in
-            # VMEM (cheap) instead of by HBM relayout copies outside the call.
+            # [TH, TW, ks] -> [TH, ks, TW] tap-major, transposed tile-locally
+            # in VMEM (cheap) instead of by HBM relayout copies outside the call.
             hbuf = jnp.swapaxes(h_ref[0], 1, 2)
             vbuf = jnp.swapaxes(v_ref[0], 1, 2)
         else:
-            hbuf = h_ref[0]  # [TH, ks, W] tap-major
-            vbuf = v_ref[0]  # [TH, ks, W] tap-major
+            hbuf = h_ref[0]  # [TH, ks, TW] tap-major
+            vbuf = v_ref[0]  # [TH, ks, TW] tap-major
 
         # --- step 1: log-barrel skew  S[yy, u, x] = h[yy, x, u-x] ------------
-        # Build S pre-transposed: pad the tap (sublane) axis to Wp, then roll
-        # column x DOWN by x sublanes — 7 masked circular rolls realize all W
-        # distinct shifts (f32: Mosaic's rotate is 32-bit only).  The masks
-        # depend only on the lane index: [1, 1, W] broadcasts over the select.
-        S = jnp.pad(hbuf.astype(jnp.float32), ((0, 0), (0, Wp - ks), (0, 0)))  # [TH, Wp, W]
-        lane = lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+        # Build S pre-transposed: pad the tap (sublane) axis to TWp, then roll
+        # column x DOWN by x sublanes — log2(TW) masked circular rolls realize
+        # all TW distinct shifts (f32: Mosaic's rotate is 32-bit only).  The
+        # masks depend only on the lane index: [1, 1, TW] broadcasts.
+        S = jnp.pad(hbuf.astype(jnp.float32), ((0, 0), (0, TWp - ks), (0, 0)))  # [TH, TWp, TW]
+        lane = lax.broadcasted_iota(jnp.int32, (1, 1, TW), 2)
         for k in range(n_bits):
             shifted = pltpu.roll(S, 1 << k, axis=1)
             S = jnp.where((lane >> k) & 1 == 1, shifted, S)
         # No wrap corruption: column x's content ends at sublane
-        # x + ks - 1 <= (W-1) + (ks-1) = Wp - 1.
+        # x + ks - 1 <= (TW-1) + (ks-1) = TWp - 1.
 
         # --- step 2: per-row MXU matmul + tap reduction ----------------------
         if f32_split:
@@ -412,32 +447,35 @@ def _sepconv_pallas_mxu_raw(x: jax.Array, v: jax.Array, h: jax.Array, *, row_til
         rows = []
         for yy in range(TH):
             if f32_split:
-                sh = x_hi[yy : yy + ks]  # [ks, Wp] static sublane slices
+                sh = x_hi[yy : yy + ks]  # [ks, TWp] static sublane slices
                 sl = x_lo[yy : yy + ks]
                 inner = _dot(sh, S_hi[yy]) + _dot(sl, S_hi[yy]) + _dot(sh, S_lo[yy])
             else:
-                inner = _dot(xbuf[yy : yy + ks], S_b[yy])  # [ks, W]
+                inner = _dot(xbuf[yy : yy + ks], S_b[yy])  # [ks, TW]
             rows.append(jnp.sum(inner * vbuf[yy].astype(jnp.float32), axis=0))
         o_ref[0] = jnp.stack(rows).astype(o_ref.dtype)
 
-    kb = (1, TH, W, ks) if native_layout else (1, TH, ks, W)
+    if native_layout:
+        kb, kmap = (1, TH, TW, ks), (lambda n, i, j: (n, i, j, 0))
+    else:
+        kb, kmap = (1, TH, ks, TW), (lambda n, i, j: (n, i, 0, j))
     out2 = pl.pallas_call(
         kernel,
-        grid=(N, nt),
+        grid=(N, nt, nw),
         in_specs=[
-            pl.BlockSpec((1, 1, TH + ks - 1, Wp), lambda n, i: (n, i, 0, 0)),
-            pl.BlockSpec(kb, lambda n, i: (n, i, 0, 0)),
-            pl.BlockSpec(kb, lambda n, i: (n, i, 0, 0)),
+            pl.BlockSpec((1, 1, 1, TH + ks - 1, TWp), lambda n, i, j: (n, i, j, 0, 0)),
+            pl.BlockSpec(kb, kmap),
+            pl.BlockSpec(kb, kmap),
         ],
-        out_specs=pl.BlockSpec((1, TH, W), lambda n, i: (n, i, 0)),
+        out_specs=pl.BlockSpec((1, TH, TW), lambda n, i, j: (n, i, j)),
         out_shape=jax.ShapeDtypeStruct((N, H, W), x.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * N * H * ks * Wp * W,
+            flops=2 * N * H * ks * TWp * W,
             bytes_accessed=(xt.size + vt.size + ht.size + N * H * W) * x.dtype.itemsize,
             transcendentals=0,
         ),
     )(xt, ht, vt)
-    return jnp.moveaxis(out2.reshape(B, C, H, W), 1, 3)
+    return jnp.moveaxis(out2.reshape(B, C, H, W), 1, 3)[:, :, :W_in]
 
 
 def _sepconv_pallas_bwd_vh_raw(x, v, h, g, *, row_tile: int):
@@ -665,13 +703,22 @@ def _sepconv_pallas_bwd_x_raw(v, h, g, *, row_tile: int):
 
 
 def _pick_row_tile_mxu(H: int, W: int, ks: int, itemsize: int) -> int:
-    """Largest tile whose VMEM working set (S + blocks) stays well under budget."""
+    """Largest tile whose VMEM stack stays under the 16 MB scoped limit.
+
+    Empirical model (hardware-calibrated at W=320, r3): the kernel's live
+    temporaries — S in f32 plus its barrel-roll copies, the hi/lo or bf16
+    casts, the transposed kernel tiles and the row accumulators — total
+    ~35 bytes per S element (t*W*(W+ks-1)), far above the naive
+    S+blocks estimate (a t=4 W=320 cell measured 16.41 MB vs 5.9 modeled).
+    Budget 15 MB: keeps t=16 at W=128 (~12.7 MB, the proven config) and
+    drops to t=2 at the UCF test shape W=320.
+    """
+    del itemsize  # the dominant temporaries are f32 regardless of input dtype
+    tw = min(W, 128)  # wide images are column-tiled at TW=128 in the kernel
     for t in (16, 8, 4, 2, 1):
         if H % t != 0:
             continue
-        s_bytes = t * W * (W + ks - 1) * 4  # S is built in f32
-        blocks = t * W * ks * itemsize * 2 + (t + ks - 1) * (W + ks - 1) * itemsize
-        if 2 * (s_bytes + blocks) < 10 * 1024 * 1024:  # double-buffered
+        if 35 * t * tw * (tw + ks - 1) < 15 * 1024 * 1024:
             return t
     return 1
 
@@ -687,10 +734,13 @@ def _sepconv_mxu_fwd(x, v, h):
     return _sepconv_pallas_mxu_vjp(x, v, h), (x, v, h)
 
 
-def _pick_row_tile_bwd(H: int) -> int:
-    """The bwd_vh cell holds S + A + two output blocks — halve the fwd tile."""
+def _pick_row_tile_bwd(H: int, W: int, ks: int) -> int:
+    """The bwd_vh cell holds S + A + two output blocks — halve the fwd
+    budget (same W-aware empirical VMEM model as _pick_row_tile_mxu)."""
     for t in (8, 4, 2, 1):
-        if H % t == 0:
+        if H % t != 0:
+            continue
+        if 35 * t * W * (W + ks - 1) < 7 * 1024 * 1024:
             return t
     return 1
 
@@ -708,6 +758,10 @@ def _use_pallas_bwd(v_shape, itemsize) -> bool:
     if flag in ("0", "1"):
         return flag == "1"
     B, H, W, ks = v_shape
+    if W > 128:
+        # The fused adjoint kernels are single-column-tile designs; wide
+        # images (UCF/HMDB 320) take the XLA-AD banded-matmul backward.
+        return False
     s_bytes = B * H * W * (W + ks - 1) * itemsize
     return s_bytes > _PALLAS_BWD_BYTES_THRESHOLD
 
@@ -721,7 +775,7 @@ def _sepconv_mxu_bwd(res, grad):
         return _sepconv_bwd(res, grad)
     if not _use_pallas_bwd(v.shape, x.dtype.itemsize):
         return _sepconv_bwd(res, grad)
-    TH = _pick_row_tile_bwd(v.shape[1])
+    TH = _pick_row_tile_bwd(v.shape[1], v.shape[2], v.shape[3])
     gv, gh = _sepconv_pallas_bwd_vh_raw(x, v, h, grad, row_tile=TH)
     gx = _sepconv_pallas_bwd_x_raw(v, h, grad, row_tile=TH)
     return gx, gv, gh
