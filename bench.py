@@ -24,7 +24,8 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, "benchmarks", "cpu_baseline.json")
 
-K = T = F = 5
+K = F = 5
+T = int(os.environ.get("BENCH_T", "5"))  # 10 = the KTH m=10 headline config
 H = W = 128
 C = 1
 
