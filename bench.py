@@ -162,7 +162,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"bi-TAI KTH128 inference (K=F=T=5, gray, {_bench_dtype()})",
+                "metric": f"bi-TAI KTH128 inference (K=F=5, T={T}, gray, {_bench_dtype()})",
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
                 # denominator: measured 1-core torch run of the faithful
