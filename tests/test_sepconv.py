@@ -238,6 +238,33 @@ def test_dispatch_defaults_per_backend(monkeypatch):
     assert calls == ["mxu", "pallas_mxu"]
 
 
+def test_pallas_mxu_wide_image_grad():
+    """W > 128 dispatches the custom VJP to the XLA-AD banded-matmul backward
+    (the fused adjoints are single-column-tile designs); gradients must agree
+    with AD through the direct spec."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vfi_tpu.ops.sepconv import sepconv_direct, sepconv_pallas_mxu
+
+    ks, H, W, C = 5, 8, 160, 1
+    k = jax.random.split(jax.random.PRNGKey(13), 3)
+    x = _rand(k[0], (1, H + ks - 1, W + ks - 1, C))
+    v = _rand(k[1], (1, H, W, ks))
+    h = _rand(k[2], (1, H, W, ks))
+
+    def loss_p(x, v, h):
+        return jnp.sum(sepconv_pallas_mxu(x, v, h) ** 2)
+
+    def loss_d(x, v, h):
+        return jnp.sum(sepconv_direct(x, v, h) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, v, h)
+    gd = jax.grad(loss_d, argnums=(0, 1, 2))(x, v, h)
+    for a, b in zip(gp, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
+
+
 def test_pallas_mxu_native_layout_opt_in(monkeypatch):
     """SEPCONV_NATIVE_LAYOUT=1 ships v/h as produced ([B,H,W,ks]) and
     transposes in VMEM; must agree with the default tap-major path."""

@@ -64,6 +64,28 @@ def test_train_step_sharded_over_mesh(tai_env):
     assert len(leaf.sharding.device_set) in (1, 8)
 
 
+def test_sharded_inference_matches_unsharded(tai_env):
+    """cli/predict.py's multi-chip path (batch device_put onto the data axis,
+    same jitted forward) must produce the single-device numbers exactly."""
+    from vfi_tpu.parallel.mesh import batch_sharding
+
+    env = tai_env
+    batch = _batch(1, seed=3)
+    state = env.init_state(jax.random.PRNGKey(0), batch, K, T, F)
+    p = jnp.asarray(batch[:, :K])
+    f = jnp.asarray(batch[:, -F:])
+    want = np.asarray(env.forward_test(state.g_params, T, p, f)["pred"])
+
+    mesh = make_mesh()
+    sh = batch_sharding(mesh)
+    got = np.asarray(
+        env.forward_test(
+            state.g_params, T, jax.device_put(p, sh), jax.device_put(f, sh)
+        )["pred"]
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_mcnet_env_and_ktf_sampling():
     model = MCNetFillInModel(gf_dim=8, c_dim=1)
     cfg = TrainConfig(K=3, T=2, F=2, df_dim=8, Ip=1, disc_window_size=3)
