@@ -239,8 +239,8 @@ def test_dispatch_defaults_per_backend(monkeypatch):
 
 
 def test_pallas_mxu_wide_image_grad():
-    """W > 128 dispatches the custom VJP to the XLA-AD banded-matmul backward
-    (the fused adjoints are single-column-tile designs); gradients must agree
+    """At this small W>128 shape the S residual is tiny, so the custom VJP
+    dispatches to the XLA-AD banded-matmul backward; gradients must agree
     with AD through the direct spec."""
     from jax.experimental.pallas import tpu as pltpu
 
@@ -263,6 +263,39 @@ def test_pallas_mxu_wide_image_grad():
     gd = jax.grad(loss_d, argnums=(0, 1, 2))(x, v, h)
     for a, b in zip(gp, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
+
+
+def test_pallas_bwd_kernels_wide_image(monkeypatch):
+    """Column-tiled fused adjoints (round 3): W > 128 pads W to a multiple of
+    the TW=128 column tile and grids over column tiles, exactly like the
+    forward.  Forced on via SEPCONV_PALLAS_BWD=1; gradients must agree with
+    XLA-AD through the direct spec (f32 tolerance graded for the hi/lo
+    split's HIGH-equivalent precision)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vfi_tpu.ops.sepconv import sepconv_direct, sepconv_pallas_mxu
+
+    monkeypatch.setenv("SEPCONV_PALLAS_BWD", "1")
+    ks, H, W, C, B = 5, 8, 160, 3, 2  # pads 160 -> 256 = 2 column tiles
+    k = jax.random.split(jax.random.PRNGKey(17), 4)
+    x = _rand(k[0], (B, H + ks - 1, W + ks - 1, C))
+    v = _rand(k[1], (B, H, W, ks))
+    h = _rand(k[2], (B, H, W, ks))
+    ct = _rand(k[3], (B, H, W, C))
+
+    def loss_p(x, v, h):
+        return jnp.sum(sepconv_pallas_mxu(x, v, h) * ct)
+
+    def loss_d(x, v, h):
+        return jnp.sum(sepconv_direct(x, v, h) * ct)
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, v, h)
+    gd = jax.grad(loss_d, argnums=(0, 1, 2))(x, v, h)
+    for name, a, b in zip(("grad_x", "grad_v", "grad_h"), gp, gd):
+        assert a.shape == b.shape, name
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
 
 
 def test_pallas_mxu_native_layout_opt_in(monkeypatch):

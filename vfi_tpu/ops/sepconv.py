@@ -491,6 +491,10 @@ def _sepconv_pallas_bwd_vh_raw(x, v, h, g, *, row_tile: int):
 
     Outputs: grad_v tap-major [N, H, ks, W] and grad_h natural [N, H, W, ks],
     per folded image n = (b, c); the caller sums over c and restores layouts.
+
+    Wide images (W > 128) are column-tiled at TW=128 exactly like the forward
+    kernel (padded kernel/cotangent columns are zero, so the padded-column
+    grads are zero and get sliced off).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -498,9 +502,23 @@ def _sepconv_pallas_bwd_vh_raw(x, v, h, g, *, row_tile: int):
     B, H, W, C, ks = _check_shapes(x, v, h)
     TH = row_tile
     assert H % TH == 0
+    W_in = W
+    if W > 128:
+        TW = 128
+        pad_w = (-W) % TW
+        if pad_w:
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
+            h = jnp.pad(h, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
+            g = jnp.pad(g, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
+            W = W + pad_w
+    else:
+        TW = W
+    nw = W // TW
     Wp = W + ks - 1
+    TWp = TW + ks - 1
     nt = H // TH
-    n_bits = max((W - 1).bit_length(), 1)
+    n_bits = max((TW - 1).bit_length(), 1)
     f32_split = x.dtype != jnp.bfloat16
 
     x2 = jnp.moveaxis(x, 3, 1).reshape(B * C, H + ks - 1, Wp)
@@ -511,7 +529,16 @@ def _sepconv_pallas_bwd_vh_raw(x, v, h, g, *, row_tile: int):
         ht = jnp.repeat(ht, C, axis=0)
         vn = jnp.repeat(vn, C, axis=0)
     N = B * C
-    xt = jnp.stack([x2[:, i * TH : i * TH + TH + ks - 1] for i in range(nt)], axis=1)
+    xt = jnp.stack(
+        [
+            jnp.stack(
+                [x2[:, i * TH : i * TH + TH + ks - 1, j * TW : j * TW + TWp] for j in range(nw)],
+                axis=1,
+            )
+            for i in range(nt)
+        ],
+        axis=1,
+    )  # [N, nt, nw, TH+ks-1, TWp]
 
     def _dot(a, b):
         return lax.dot_general(a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -522,14 +549,14 @@ def _sepconv_pallas_bwd_vh_raw(x, v, h, g, *, row_tile: int):
         return hi, lo
 
     def kernel(x_ref, h_ref, v_ref, g_ref, gv_ref, gh_ref):
-        xbuf = x_ref[0, 0]  # [TH+ks-1, Wp]
-        hbuf = h_ref[0]  # [TH, ks, W] tap-major
-        vbuf = v_ref[0]  # [TH, W, ks] natural
-        gbuf = g_ref[0].astype(jnp.float32)  # [TH, W]
+        xbuf = x_ref[0, 0, 0]  # [TH+ks-1, TWp]
+        hbuf = h_ref[0]  # [TH, ks, TW] tap-major
+        vbuf = v_ref[0]  # [TH, TW, ks] natural
+        gbuf = g_ref[0].astype(jnp.float32)  # [TH, TW]
 
         # S^T skew (identical to the forward kernel).
-        S = jnp.pad(hbuf.astype(jnp.float32), ((0, 0), (0, Wp - ks), (0, 0)))
-        lane = lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+        S = jnp.pad(hbuf.astype(jnp.float32), ((0, 0), (0, TWp - ks), (0, 0)))
+        lane = lax.broadcasted_iota(jnp.int32, (1, 1, TW), 2)
         for k in range(n_bits):
             shifted = pltpu.roll(S, 1 << k, axis=1)
             S = jnp.where((lane >> k) & 1 == 1, shifted, S)
@@ -562,11 +589,11 @@ def _sepconv_pallas_bwd_vh_raw(x, v, h, g, *, row_tile: int):
             A_rows.append(A)
 
         # Batched unskew over the whole tile: Ahat[yy, x, j] = A[yy, x, x+j] —
-        # roll row x LEFT by x lanes; masks depend only on x ([1, W, 1]).
-        A_all = jnp.stack(A_rows)  # [TH, W, Wp]
-        sub = lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+        # roll row x LEFT by x lanes; masks depend only on x ([1, TW, 1]).
+        A_all = jnp.stack(A_rows)  # [TH, TW, TWp]
+        sub = lax.broadcasted_iota(jnp.int32, (1, TW, 1), 1)
         for k in range(n_bits):
-            shifted = pltpu.roll(A_all, Wp - (1 << k), axis=2)
+            shifted = pltpu.roll(A_all, TWp - (1 << k), axis=2)
             A_all = jnp.where((sub >> k) & 1 == 1, shifted, A_all)
 
         gv_ref[0] = jnp.stack(gv_rows).astype(gv_ref.dtype)
@@ -574,30 +601,31 @@ def _sepconv_pallas_bwd_vh_raw(x, v, h, g, *, row_tile: int):
 
     gv2, gh2 = pl.pallas_call(
         kernel,
-        grid=(N, nt),
+        grid=(N, nt, nw),
         in_specs=[
-            pl.BlockSpec((1, 1, TH + ks - 1, Wp), lambda n, i: (n, i, 0, 0)),
-            pl.BlockSpec((1, TH, ks, W), lambda n, i: (n, i, 0, 0)),
-            pl.BlockSpec((1, TH, W, ks), lambda n, i: (n, i, 0, 0)),
-            pl.BlockSpec((1, TH, W), lambda n, i: (n, i, 0)),
+            pl.BlockSpec((1, 1, 1, TH + ks - 1, TWp), lambda n, i, j: (n, i, j, 0, 0)),
+            pl.BlockSpec((1, TH, ks, TW), lambda n, i, j: (n, i, 0, j)),
+            pl.BlockSpec((1, TH, TW, ks), lambda n, i, j: (n, i, j, 0)),
+            pl.BlockSpec((1, TH, TW), lambda n, i, j: (n, i, j)),
         ],
         out_specs=[
-            pl.BlockSpec((1, TH, ks, W), lambda n, i: (n, i, 0, 0)),
-            pl.BlockSpec((1, TH, W, ks), lambda n, i: (n, i, 0, 0)),
+            pl.BlockSpec((1, TH, ks, TW), lambda n, i, j: (n, i, 0, j)),
+            pl.BlockSpec((1, TH, TW, ks), lambda n, i, j: (n, i, j, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, H, ks, W), v.dtype),
             jax.ShapeDtypeStruct((N, H, W, ks), h.dtype),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * N * H * ks * Wp * W,
+            flops=4 * N * H * ks * TWp * W,
             bytes_accessed=(xt.size + ht.size + vn.size + g2.size) * x.dtype.itemsize,
             transcendentals=0,
         ),
     )(xt, ht, vn, g2)
-    # fold channels: kernels are shared across c -> sum the per-(b,c) grads
-    gv = jnp.moveaxis(gv2.reshape(B, C, H, ks, W), 4, 3).sum(axis=1)  # [B, H, W, ks]
-    gh = gh2.reshape(B, C, H, W, ks).sum(axis=1)
+    # fold channels (kernels are shared across c -> sum the per-(b,c) grads)
+    # and drop the padded columns of wide images
+    gv = jnp.moveaxis(gv2.reshape(B, C, H, ks, W), 4, 3).sum(axis=1)[:, :, :W_in]
+    gh = gh2.reshape(B, C, H, W, ks).sum(axis=1)[:, :, :W_in]
     return gv, gh
 
 
@@ -607,8 +635,11 @@ def _sepconv_pallas_bwd_x_raw(v, h, g, *, row_tile: int):
     grad_x[s, u, c] = sum_{y,x} g[y,x,c] * v[y,x,s-y] * h[y,x,u-x]
                     = sum_y  (GV_y @ S_y)[s - y]      rows accumulated with
     GV_y[f, x] = g[y,x]*v[y,x,f] and S_y the forward's (untransposed) banded
-    matrix.  Each tile emits its local [TH+ks-1, Wp] slab; the overlapping
-    rows across tiles are added outside the kernel (cheap: 1.3x of x's HBM).
+    matrix.  Each tile emits its local [TH+ks-1, TWp] slab; the overlapping
+    rows/columns across tiles are added outside the kernel (cheap: ~1.3x of
+    x's HBM).  Wide images (W > 128) are column-tiled at TW=128 like the
+    forward (padded kernel/cotangent columns are zero -> zero slabs, and the
+    padded input-gradient columns are sliced off).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -616,9 +647,21 @@ def _sepconv_pallas_bwd_x_raw(v, h, g, *, row_tile: int):
     B, H, W, ks = v.shape
     TH = row_tile
     assert H % TH == 0
-    Wp = W + ks - 1
+    W_in = W
+    if W > 128:
+        TW = 128
+        pad_w = (-W) % TW
+        if pad_w:
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
+            h = jnp.pad(h, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
+            g = jnp.pad(g, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
+            W = W + pad_w
+    else:
+        TW = W
+    nw = W // TW
+    TWp = TW + ks - 1
     nt = H // TH
-    n_bits = max((W - 1).bit_length(), 1)
+    n_bits = max((TW - 1).bit_length(), 1)
     C = g.shape[-1]
     f32_split = g.dtype != jnp.bfloat16
 
@@ -636,13 +679,13 @@ def _sepconv_pallas_bwd_x_raw(v, h, g, *, row_tile: int):
         return hi, lo
 
     def kernel(h_ref, v_ref, g_ref, o_ref):
-        hbuf = h_ref[0]  # [TH, W, ks] natural
-        vbuf = v_ref[0]  # [TH, ks, W] tap-major
-        gbuf = g_ref[0].astype(jnp.float32)  # [TH, W]
+        hbuf = h_ref[0]  # [TH, TW, ks] natural
+        vbuf = v_ref[0]  # [TH, ks, TW] tap-major
+        gbuf = g_ref[0].astype(jnp.float32)  # [TH, TW]
 
         # Untransposed skew: S[yy, x, u] = h[yy, x, u-x] (roll along lanes).
-        S = jnp.pad(hbuf.astype(jnp.float32), ((0, 0), (0, 0), (0, Wp - ks)))  # [TH, W, Wp]
-        row = lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+        S = jnp.pad(hbuf.astype(jnp.float32), ((0, 0), (0, 0), (0, TWp - ks)))  # [TH, TW, TWp]
+        row = lax.broadcasted_iota(jnp.int32, (1, TW, 1), 1)
         for k in range(n_bits):
             shifted = pltpu.roll(S, 1 << k, axis=2)
             S = jnp.where((row >> k) & 1 == 1, shifted, S)
@@ -669,37 +712,41 @@ def _sepconv_pallas_bwd_x_raw(v, h, g, *, row_tile: int):
         # to the full local height, barrel-roll stack row yy DOWN by yy
         # sublanes (log2 TH masked rolls, masks on the leading axis), then
         # reduce over yy.
-        Gs = jnp.stack(G_rows)  # [TH, ks, Wp]
-        Gs = jnp.pad(Gs, ((0, 0), (0, TH - 1), (0, 0)))  # [TH, TH+ks-1, Wp]
+        Gs = jnp.stack(G_rows)  # [TH, ks, TWp]
+        Gs = jnp.pad(Gs, ((0, 0), (0, TH - 1), (0, 0)))  # [TH, TH+ks-1, TWp]
         lead = lax.broadcasted_iota(jnp.int32, (TH, 1, 1), 0)
         for k in range(max((TH - 1).bit_length(), 1)):
             shifted = pltpu.roll(Gs, 1 << k, axis=1)
             Gs = jnp.where((lead >> k) & 1 == 1, shifted, Gs)
-        o_ref[0, 0] = jnp.sum(Gs, axis=0).astype(o_ref.dtype)
+        o_ref[0, 0, 0] = jnp.sum(Gs, axis=0).astype(o_ref.dtype)
 
     slabs = pl.pallas_call(
         kernel,
-        grid=(N, nt),
+        grid=(N, nt, nw),
         in_specs=[
-            pl.BlockSpec((1, TH, W, ks), lambda n, i: (n, i, 0, 0)),
-            pl.BlockSpec((1, TH, ks, W), lambda n, i: (n, i, 0, 0)),
-            pl.BlockSpec((1, TH, W), lambda n, i: (n, i, 0)),
+            pl.BlockSpec((1, TH, TW, ks), lambda n, i, j: (n, i, j, 0)),
+            pl.BlockSpec((1, TH, ks, TW), lambda n, i, j: (n, i, 0, j)),
+            pl.BlockSpec((1, TH, TW), lambda n, i, j: (n, i, j)),
         ],
-        out_specs=pl.BlockSpec((1, 1, TH + ks - 1, Wp), lambda n, i: (n, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, nt, TH + ks - 1, Wp), g.dtype),
+        out_specs=pl.BlockSpec((1, 1, 1, TH + ks - 1, TWp), lambda n, i, j: (n, i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, nt, nw, TH + ks - 1, TWp), g.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * N * H * ks * Wp * W,
-            bytes_accessed=(hn.size + vt.size + g2.size + N * nt * (TH + ks - 1) * Wp) * g.dtype.itemsize,
+            flops=2 * N * H * ks * TWp * W,
+            bytes_accessed=(hn.size + vt.size + g2.size + N * nt * nw * (TH + ks - 1) * TWp) * g.dtype.itemsize,
             transcendentals=0,
         ),
     )(hn, vt, g2)
 
-    # Overlap-add the per-tile slabs into the padded-input gradient.
-    gx2 = jnp.zeros((N, H + ks - 1, Wp), jnp.float32)
+    # Overlap-add the per-tile slabs into the padded-input gradient; drop the
+    # padded columns of wide images.
+    gx2 = jnp.zeros((N, H + ks - 1, W + ks - 1), jnp.float32)
     for i in range(nt):
-        gx2 = gx2.at[:, i * TH : i * TH + TH + ks - 1].add(slabs[:, i].astype(jnp.float32))
-    gx2 = gx2.astype(g.dtype)
-    return jnp.moveaxis(gx2.reshape(B, C, H + ks - 1, Wp), 1, 3)
+        for j in range(nw):
+            gx2 = gx2.at[
+                :, i * TH : i * TH + TH + ks - 1, j * TW : j * TW + TWp
+            ].add(slabs[:, i, j].astype(jnp.float32))
+    gx2 = gx2.astype(g.dtype)[:, :, : W_in + ks - 1]
+    return jnp.moveaxis(gx2.reshape(B, C, H + ks - 1, W_in + ks - 1), 1, 3)
 
 
 def _pick_row_tile_mxu(H: int, W: int, ks: int, itemsize: int) -> int:
@@ -737,10 +784,11 @@ def _sepconv_mxu_fwd(x, v, h):
 def _pick_row_tile_bwd(H: int, W: int, ks: int) -> int:
     """The bwd_vh cell holds S + A + two output blocks — halve the fwd
     budget (same W-aware empirical VMEM model as _pick_row_tile_mxu)."""
+    tw = min(W, 128)  # wide images are column-tiled at TW=128 in the kernels
     for t in (8, 4, 2, 1):
         if H % t != 0:
             continue
-        if 35 * t * W * (W + ks - 1) < 7 * 1024 * 1024:
+        if 35 * t * tw * (tw + ks - 1) < 7 * 1024 * 1024:
             return t
     return 1
 
@@ -758,10 +806,10 @@ def _use_pallas_bwd(v_shape, itemsize) -> bool:
     if flag in ("0", "1"):
         return flag == "1"
     B, H, W, ks = v_shape
-    if W > 128:
-        # The fused adjoint kernels are single-column-tile designs; wide
-        # images (UCF/HMDB 320) take the XLA-AD banded-matmul backward.
-        return False
+    # Size of the S residual the XLA-AD backward would materialize in HBM —
+    # the quantity that OOMs/pathologizes large shapes.  Wide images (W>128)
+    # hit the threshold immediately (W=320 color: S alone is multi-GB), which
+    # is why the adjoint kernels grew column tiling in round 3.
     s_bytes = B * H * W * (W + ks - 1) * itemsize
     return s_bytes > _PALLAS_BWD_BYTES_THRESHOLD
 
