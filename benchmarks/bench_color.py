@@ -9,7 +9,10 @@ Measures forward inference f/s and one GAN train-step ms at that shape —
 exercises the Pallas sepconv tiling/VMEM picker at W=320 (ops/sepconv.py
 dispatches per-shape; this was only ever run at W=128 before round 3).
 
-Knobs: C_DTYPE=float32|bfloat16, C_BATCH (default 4), C_PARTS=fwd,train
+Knobs: C_DTYPE=float32|bfloat16, C_BATCH (default 4), C_PARTS=fwd,train,
+C_REMAT=1 (gradient-checkpoint rollout submodules — the wide shape is
+memory-cliffed: B=2 runs 261 ms/step but B=3 OOMs at compile and B=4
+compiles into a spilling schedule at ~2000 ms/step, so remat is the lever)
 Usage: python benchmarks/bench_color.py [iters]
 """
 
@@ -67,7 +70,8 @@ def bench_train(iters):
     from vfi_tpu.train.environments import create_training_environment
     from vfi_tpu.utils.config import TrainConfig
 
-    model = TAIFillInModel(gf_dim=64, c_dim=3, feature_size=3, ks=51, num_block=4)
+    model = TAIFillInModel(gf_dim=64, c_dim=3, feature_size=3, ks=51, num_block=4,
+                           remat=os.environ.get("C_REMAT", "0") == "1")
     cfg = TrainConfig(K=K, T=T, F=F, df_dim=64, Ip=1, disc_window_size=3,
                       train_dtype=DTYPE)
     env = create_training_environment(model, cfg)
@@ -95,7 +99,8 @@ def main():
                           "ms_per_batch": round(ms, 1)}))
     if "train" in parts:
         ms = bench_train(iters)
-        print(json.dumps({"metric": f"TAI_color 256x320 GAN train step B={B} [{DTYPE}]",
+        tag = DTYPE + (" remat" if os.environ.get("C_REMAT", "0") == "1" else "")
+        print(json.dumps({"metric": f"TAI_color 256x320 GAN train step B={B} [{tag}]",
                           "value": round(ms, 1), "unit": "ms"}))
 
 

@@ -49,6 +49,74 @@ def summarize(trace_dir):
     for k, v in sorted(by_name.items(), key=lambda kv: -kv[1])[:25]:
         print(f"  {v/1e3:9.2f} ms  {100*v/max(total,1e-9):5.1f}%  {k}")
 
+    # Per-op breakdown: group repeated instances (fusion.123 -> fusion) by the
+    # op's long_name/shape when available so the hot conv shapes stand out.
+    by_op = defaultdict(lambda: [0.0, 0])
+    for ev in events:
+        if ev.get("ph") != "X" or "dur" not in ev:
+            continue
+        args = ev.get("args") or {}
+        if not (args.get("hlo_category") or ""):
+            continue
+        name = ev.get("name", "")
+        expr = args.get("long_name") or args.get("expression") or ""
+        # strip ssa ids: "%fusion.1023 = bf16[16,128,128,64]{...} fusion(...)"
+        shape = ""
+        if "=" in expr:
+            rhs = expr.split("=", 1)[1].strip()
+            shape = rhs.split(" ")[0]
+        base = name.rstrip("0123456789.")
+        key = f"{base:<24s} {shape}" if shape else name
+        by_op[key][0] += ev["dur"]
+        by_op[key][1] += 1
+    print("\ntop ops (grouped by base name + result shape):")
+    for k, (v, n) in sorted(by_op.items(), key=lambda kv: -kv[1][0])[:30]:
+        print(f"  {v/1e3:9.2f} ms  {100*v/max(total,1e-9):5.1f}%  x{n:<4d} {k}")
+
+
+def capture_gstep():
+    """Trace the REAL G-update program (bi-TAI loss + grad + Adam) — the
+    operating point item-2 optimizations must win at (isolated-module numbers
+    have lied before; see CLAUDE.md 'measure INSIDE the train program')."""
+    from vfi_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+    import jax
+    import numpy as np
+
+    from vfi_tpu.models.fill_in import TAIFillInModel
+    from vfi_tpu.train.environments import create_training_environment
+    from vfi_tpu.utils.config import TrainConfig
+
+    B = int(os.environ.get("G_BATCH", "8"))
+    K = T = F = 5
+    H = W = 128
+    DTYPE = os.environ.get("G_DTYPE", "bfloat16")
+
+    model = TAIFillInModel(gf_dim=64, c_dim=1, feature_size=3, ks=51, num_block=5)
+    cfg = TrainConfig(K=K, T=T, F=F, df_dim=64, Ip=1, disc_window_size=5,
+                      train_dtype=DTYPE)
+    env = create_training_environment(model, cfg)
+    batch = np.random.RandomState(0).uniform(-1, 1, (B, K + T + F, H, W, 1)).astype(np.float32)
+    state = env.init_state(jax.random.PRNGKey(0), batch, K, T, F)
+    targets = jax.numpy.asarray(batch)
+
+    gstate = (state.g_params, state.g_opt, state.rng, state.step)
+    d_frozen = (state.d_params, state.d_sn)
+    gstate, pred, _ = env._g_update(gstate, d_frozen, K, T, F, targets)
+    np.asarray(pred)
+    gstate, pred, _ = env._g_update(gstate, d_frozen, K, T, F, targets)
+    np.asarray(pred)
+
+    out_dir = "/tmp/vfi_profile_gstep"
+    jax.profiler.start_trace(out_dir)
+    for _ in range(5):
+        gstate, pred, _ = env._g_update(gstate, d_frozen, K, T, F, targets)
+    np.asarray(pred)
+    jax.profiler.stop_trace()
+    print("trace written to", out_dir)
+    summarize(out_dir)
+
 
 def capture():
     from vfi_tpu.utils.jax_setup import setup_jax
@@ -97,5 +165,7 @@ def capture():
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--summarize":
         summarize(sys.argv[2])
+    elif os.environ.get("PROFILE_TARGET", "mcnet") == "gstep":
+        capture_gstep()
     else:
         capture()

@@ -149,3 +149,28 @@ def test_scan_rollout_matches_unrolled():
     out_ss = scanned.apply(variables, T_, diff, xt, skip)
     np.testing.assert_allclose(np.asarray(out_us.pred), np.asarray(out_ss.pred),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_max_pool2_matches_reduce_window():
+    """max_pool2's block-reshape formulation (cheap gradient, no
+    select_and_scatter on TPU) must be forward-identical to the windowed
+    nn.max_pool on even extents, fall back on odd extents, and produce the
+    same gradient on tie-free inputs."""
+    import flax.linen as fnn
+
+    from vfi_tpu.nn.layers import max_pool2
+
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (2, 8, 12, 5))
+    ref = fnn.max_pool(x, (2, 2), strides=(2, 2))
+    np.testing.assert_array_equal(np.asarray(max_pool2(x)), np.asarray(ref))
+
+    x_odd = jax.random.normal(rng, (2, 7, 9, 3))
+    ref_odd = fnn.max_pool(x_odd, (2, 2), strides=(2, 2))
+    np.testing.assert_array_equal(np.asarray(max_pool2(x_odd)), np.asarray(ref_odd))
+
+    # gradient parity on tie-free data (float64-free: random normals collide
+    # with probability ~0 in f32)
+    g_new = jax.grad(lambda a: jnp.sum(max_pool2(a) ** 2))(x)
+    g_ref = jax.grad(lambda a: jnp.sum(fnn.max_pool(a, (2, 2), strides=(2, 2)) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), rtol=1e-6, atol=1e-6)

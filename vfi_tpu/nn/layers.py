@@ -28,7 +28,24 @@ def Conv(features: int, kernel: int, *, strides: int = 1, name: str | None = Non
 
 
 def max_pool2(x: jax.Array) -> jax.Array:
-    return nn.max_pool(x, (2, 2), strides=(2, 2))
+    """2x2/stride-2 max pool via block-reshape + reduce-max.
+
+    Forward-identical to ``nn.max_pool`` (non-overlapping windows), but its
+    gradient is an elementwise tie-split mask instead of XLA's
+    ``select_and_scatter_add`` — measured 4% of the MC-Net G fwd+grad program
+    on v5e (CLAUDE.md round-3 profiling).  Gradient semantics differ from the
+    torch reference only on exact ties inside a window: torch routes the
+    cotangent to the first argmax, reduce-max splits it among ties.  Every use
+    in this codebase pools post-ReLU activations, where tied values are the
+    ReLU-clamped zeros whose cotangent the ReLU backward kills anyway, so the
+    difference is confined to measure-zero positive ties (bf16 quantization
+    can manufacture a few; harmless training noise).
+    """
+    B, H, W, C = x.shape
+    if H % 2 or W % 2:  # odd extents: keep the windowed implementation
+        return nn.max_pool(x, (2, 2), strides=(2, 2))
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return x.max(axis=(2, 4))
 
 
 def avg_pool2(x: jax.Array) -> jax.Array:
