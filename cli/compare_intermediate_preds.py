@@ -18,6 +18,10 @@ from warnings import warn
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from vfi_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
 from vfi_tpu.eval.figures import (CYAN, PURPLE, YELLOW, PdfCanvas, in2cm,
                                   text_width_cm)
 

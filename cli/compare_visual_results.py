@@ -28,6 +28,10 @@ from PIL import Image, ImageDraw, ImageFont
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from vfi_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
 from vfi_tpu.eval.figures import (GREEN, ORANGE, YELLOW, PdfCanvas, in2cm,
                                   text_width_cm, write_video)
 

@@ -7,6 +7,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from vfi_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
 from vfi_tpu.eval.quant import compute_quant_results
 
 

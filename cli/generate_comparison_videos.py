@@ -10,6 +10,10 @@ from PIL import Image
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from vfi_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
 from vfi_tpu.eval.animate import files_matching, labeled_stack_frame, write_gif
 
 

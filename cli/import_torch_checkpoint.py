@@ -22,6 +22,10 @@ import sys
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
+from vfi_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
 import jax
 import numpy as np
 

@@ -14,6 +14,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from vfi_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
 from vfi_tpu.eval.quant import load_all_tables, metric_summary_rows, video_scores
 from vfi_tpu.eval.tables import render_table
 

@@ -21,8 +21,17 @@ def setup_jax(cache_dir: str | None = None) -> None:
     """
     import jax
 
-    platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
-    if platforms.split(",")[0].strip() == "cpu":
+    # The JAX_PLATFORMS env var is NOT authoritative: a platform plugin's
+    # sitecustomize (e.g. the axon TPU tunnel) can have already overridden
+    # the config to "axon,cpu" before this process's first line of user code
+    # ran, which makes the plugin the DEFAULT backend of a "CPU" run — slow
+    # at best, and a hard startup freeze whenever the tunnel is wedged.
+    # Honor the user's env var by re-pinning the config (backends are not
+    # initialized yet when CLIs call setup_jax(), so the update sticks).
+    env = os.environ.get("JAX_PLATFORMS", "")
+    cfg = jax.config.jax_platforms or ""
+    if "cpu" in (env.split(",")[0].strip(), cfg.split(",")[0].strip()):
+        jax.config.update("jax_platforms", "cpu")
         return
 
     cache_dir = cache_dir or os.environ.get(
