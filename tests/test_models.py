@@ -174,3 +174,21 @@ def test_max_pool2_matches_reduce_window():
     g_new = jax.grad(lambda a: jnp.sum(max_pool2(a) ** 2))(x)
     g_ref = jax.grad(lambda a: jnp.sum(fnn.max_pool(a, (2, 2), strides=(2, 2)) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), rtol=1e-6, atol=1e-6)
+
+
+def test_pad_c1_conv_matches_plain_conv():
+    """PadC1Conv (VFI_PAD_C1 experiment) must be bit-identical to Conv for
+    single-channel inputs, with the same param pytree."""
+    from vfi_tpu.nn.layers import Conv, PadC1Conv
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 16, 1))
+    plain = Conv(12, 5, name="c")
+    padded = PadC1Conv(12, 5, name="c")
+    vp = plain.init(jax.random.PRNGKey(1), x)
+    vq = padded.init(jax.random.PRNGKey(1), x)
+    assert jax.tree.structure(vp) == jax.tree.structure(vq)
+    for a, b in zip(jax.tree.leaves(vp), jax.tree.leaves(vq)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(plain.apply(vp, x)), np.asarray(padded.apply(vp, x))
+    )

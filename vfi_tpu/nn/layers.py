@@ -27,6 +27,49 @@ def Conv(features: int, kernel: int, *, strides: int = 1, name: str | None = Non
     )
 
 
+class PadC1Conv(nn.Module):
+    """'SAME' conv over a single-channel input with the input zero-padded to
+    8 channels (and the kernel zero-padded to match) at apply time.
+
+    Numerically identical to ``Conv`` — the padded channels are exact zeros
+    times exact-zero weights — with an identical param pytree ("kernel" of
+    shape [k, k, 1, features] + "bias", xavier/zeros init), so checkpoints
+    and goldens are unaffected.  Purpose: a C=1 minor dim forces Mosaic/XLA
+    into degenerate layouts around the rollout's first-stage convs (the
+    ~7% "C=1 layout flip" bucket in the round-3 G-step profile); an 8-wide
+    minor dim matches the sublane tile.  Opt-in experiment — enable with
+    VFI_PAD_C1=1 (read at module-construction/trace time).
+    """
+
+    features: int
+    kernel: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert x.shape[-1] == 1, "PadC1Conv is for single-channel inputs"
+        k = self.kernel
+        # param_dtype stays f32 (flax nn.Conv default); compute in x.dtype
+        w = self.param("kernel", xavier_conv, (k, k, 1, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 7)))
+        wp = jnp.pad(w, ((0, 0), (0, 0), (0, 7), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            xp, wp.astype(x.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + b.astype(x.dtype)
+
+
+def first_conv(features: int, kernel: int, c_in: int, *, name: str | None = None):
+    """dyn1/c1a constructor: plain Conv, or PadC1Conv for single-channel
+    inputs under VFI_PAD_C1=1 (identical params/numerics either way)."""
+    import os
+
+    if c_in == 1 and os.environ.get("VFI_PAD_C1", "0") == "1":
+        return PadC1Conv(features, kernel, name=name)
+    return Conv(features, kernel, name=name)
+
+
 def max_pool2(x: jax.Array) -> jax.Array:
     """2x2/stride-2 max pool via block-reshape + reduce-max.
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.image import fixed_unpooling, to_gray_frames
-from .layers import Conv, ConvLSTMCell, max_pool2
+from .layers import Conv, ConvLSTMCell, first_conv, max_pool2
 
 
 class MotionEnc(nn.Module):
@@ -31,7 +31,7 @@ class MotionEnc(nn.Module):
 
     @nn.compact
     def __call__(self, diff):
-        r1 = nn.relu(Conv(self.gf_dim, 5, name="dyn1")(diff))
+        r1 = nn.relu(first_conv(self.gf_dim, 5, diff.shape[-1], name="dyn1")(diff))
         r2 = nn.relu(Conv(self.gf_dim * 2, 5, name="dyn2")(max_pool2(r1)))
         r3 = nn.relu(Conv(self.gf_dim * 4, 7, name="dyn3")(max_pool2(r2)))
         return max_pool2(r3), (r1, r2, r3)
@@ -45,7 +45,7 @@ class ContentEnc(nn.Module):
     @nn.compact
     def __call__(self, frame):
         g = self.gf_dim
-        x = nn.relu(Conv(g, 3, name="c1a")(frame))
+        x = nn.relu(first_conv(g, 3, frame.shape[-1], name="c1a")(frame))
         r1 = nn.relu(Conv(g, 3, name="c1b")(x))
         x = nn.relu(Conv(g * 2, 3, name="c2a")(max_pool2(r1)))
         r2 = nn.relu(Conv(g * 2, 3, name="c2b")(x))
