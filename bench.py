@@ -98,6 +98,8 @@ def torch_cpu_fps():
         [sys.executable, os.path.join(REPO, "benchmarks", "bench_torch_cpu.py")],
         capture_output=True, text=True, timeout=3600,
     )
+    if out.returncode != 0 or not out.stdout.strip():
+        raise RuntimeError(f"bench_torch_cpu failed (rc={out.returncode}): {out.stderr[-500:]}")
     return json.loads(out.stdout.strip().splitlines()[-1])["value"]
 
 
@@ -121,6 +123,8 @@ def cpu_proxy_fps():
         # TPU-side dtype under measurement
         env={**os.environ, "JAX_PLATFORMS": "cpu", "BENCH_DTYPE": "float32"},
     )
+    if out.returncode != 0 or not out.stdout.strip():
+        raise RuntimeError(f"cpu proxy failed (rc={out.returncode}): {out.stderr[-500:]}")
     line = out.stdout.strip().splitlines()[-1]
     data = json.loads(line)
     os.makedirs(os.path.dirname(CACHE), exist_ok=True)

@@ -43,15 +43,16 @@ def make_writer(log_dir):
         return None
 
 
-def visualize_predictions(env, state, ds, K, T, F, batch_size):
+def visualize_predictions(env, g_params, ds, K, T, F, batch_size):
     """Prediction grid over the first vis batch, context frames bordered green
     and generated middle frames red (reference visualize_predictions +
-    visual_grid, train.py / util.py:117-155)."""
+    visual_grid, train.py / util.py:117-155).  ``g_params`` must be host-local
+    (or fully addressable) — multi-process callers pass a device_get copy."""
     from vfi_tpu.data.datasets import batch_iterator as _bi
 
     batch = next(_bi(ds, min(batch_size, len(ds)), False, False))
     seq = batch["targets"]
-    out = env.forward_test(state.g_params, T, seq[:, :K], seq[:, K + T :])
+    out = env.forward_test(g_params, T, seq[:, :K], seq[:, K + T :])
     vis = {
         "pred_vis_seq": np.concatenate([seq[:, :K], np.asarray(out["pred"]), seq[:, K + T :]], axis=1),
         "target_vis_seq": seq,
@@ -79,7 +80,14 @@ def compute_errors(env, state, loader, K, T, F, mesh=None):
         psnrs.append(np.asarray(m["psnr"]))
         ssims.append(np.asarray(m["ssim"]))
         l2s.append(np.asarray(m["l2"]))
-    out = (np.concatenate(psnrs), np.concatenate(ssims), np.concatenate(l2s))
+    # A host's videolist shard can be empty (fewer val videos than processes):
+    # contribute a 0-row curve so the allgather below still runs on every
+    # process instead of one host crashing while the rest block in the
+    # collective.
+    out = tuple(
+        np.concatenate(x) if x else np.zeros((0, T), np.float32)
+        for x in (psnrs, ssims, l2s)
+    )
     if multiproc:
         out = tuple(allgather_rows(a) for a in out)
     return out
@@ -186,7 +194,12 @@ def main(argv=None):
         return to_frames(sharded) if to_frames is not None else sharded
 
     sample = next(train_iter)
-    sample_targets = np.asarray(jax.device_get(prep_targets(sample["targets"])))
+    # Init from the HOST-LOCAL sample: params are batch-size-independent, and
+    # device_get of a data-sharded global array is illegal under
+    # process_count > 1 (spans non-addressable devices).
+    sample_targets = np.asarray(sample["targets"])
+    if to_frames is not None:
+        sample_targets = np.asarray(to_frames(sample_targets))
     state = env.init_state(jax.random.PRNGKey(opt.seed), sample_targets, opt.K, opt.T, opt.F)
     n_params = sum(x.size for x in jax.tree.leaves(state.g_params))
     if is_main:
@@ -194,9 +207,28 @@ def main(argv=None):
 
     total_updates = 0
     best_sum_psnr, best_sum_ssim = 0.0, 0.0
-    if ckpt.has_snapshot(expr_dir, "model_latest.ckpt"):
-        print("Loading latest snapshot...")
-        state, counters = ckpt.load_snapshot(expr_dir, "model_latest.ckpt", state)
+    multiproc = jax.process_count() > 1
+    local_has = ckpt.has_snapshot(expr_dir, "model_latest.ckpt")
+    resume = local_has
+    if multiproc:
+        # Host 0's checkpoint decides for everyone: on non-shared filesystems
+        # only some hosts see the file, and divergent total_updates would make
+        # the hosts run different numbers of jitted steps (deadlock at the
+        # first collective after one host exits the loop).
+        from jax.experimental import multihost_utils
+
+        resume = bool(multihost_utils.broadcast_one_to_all(np.asarray(local_has)))
+    if resume:
+        if local_has:
+            print("Loading latest snapshot...")
+            state, counters = ckpt.load_snapshot(expr_dir, "model_latest.ckpt", state)
+        else:  # pragma: no cover - multi-host without shared fs
+            counters = {"updates": 0, "sum_avg_psnr_err": 0.0, "sum_avg_ssim_err": 0.0}
+        if multiproc:
+            state = multihost_utils.broadcast_one_to_all(state)
+            counters = jax.tree.map(
+                lambda v: multihost_utils.broadcast_one_to_all(np.asarray(v)), dict(counters)
+            )
         total_updates = int(counters["updates"])
         best_sum_psnr = float(counters["sum_avg_psnr_err"])
         best_sum_ssim = float(counters["sum_avg_ssim_err"])
@@ -240,7 +272,12 @@ def main(argv=None):
                 seq = batch["targets"][:, : K + T + F]
                 if opt.device_normalize:
                     seq = np.asarray(jax.device_get(to_frames(jax.numpy.asarray(seq))))
-                out = env.forward_test(state.g_params, T, seq[:, :K], seq[:, K + T :])
+                # Multi-process: only main reaches this block, so run the vis
+                # forward on HOST-LOCAL params (g_params is fully replicated,
+                # so device_get is legal) — dispatching the mesh-wide program
+                # from one controller would desync the other processes.
+                g_vis = jax.device_get(state.g_params) if multiproc else state.g_params
+                out = env.forward_test(g_vis, T, seq[:, :K], seq[:, K + T :])
                 vis = {
                     "pred_vis_seq": np.concatenate(
                         [seq[:, :K], np.asarray(out["pred"]), seq[:, K + T :]], axis=1
@@ -279,7 +316,8 @@ def main(argv=None):
                     )
                     vis_ds = vis_sets.get(tag)
                     if vis_ds is not None and len(vis_ds) > 0:
-                        grid = visualize_predictions(env, state, vis_ds, k, t_mid, f, opt.batch_size)
+                        g_vis = jax.device_get(state.g_params) if multiproc else state.g_params
+                        grid = visualize_predictions(env, g_vis, vis_ds, k, t_mid, f, opt.batch_size)
                         writer.add_image(f"samples/{tag}", grid.transpose(2, 0, 1), total_updates)
                 if is_main:
                     print(f"[{tag}] iter {total_updates}: psnr {psnr_c.mean():.3f} ssim {ssim_c.mean():.4f}")

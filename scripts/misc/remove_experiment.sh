@@ -4,6 +4,11 @@
 # tb/<name>, results/{images,quantitative}/<dataset>/<name>_*).
 # Usage: remove_experiment.sh <experiment_name> <dataset_name>
 
+if [ -z "$1" ] || [ -z "$2" ]; then
+    echo "usage: $0 <experiment_name> <dataset_name>" >&2
+    exit 1
+fi
+
 CHECKPOINT_DIR=checkpoints/${1}
 TB_DIR=tb/${1}
 

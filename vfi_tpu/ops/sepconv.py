@@ -755,10 +755,12 @@ def _pick_row_tile_mxu(H: int, W: int, ks: int, itemsize: int) -> int:
     Empirical model (hardware-calibrated at W=320, r3): the kernel's live
     temporaries — S in f32 plus its barrel-roll copies, the hi/lo or bf16
     casts, the transposed kernel tiles and the row accumulators — total
-    ~35 bytes per S element (t*W*(W+ks-1)), far above the naive
-    S+blocks estimate (a t=4 W=320 cell measured 16.41 MB vs 5.9 modeled).
-    Budget 15 MB: keeps t=16 at W=128 (~12.7 MB, the proven config) and
-    drops to t=2 at the UCF test shape W=320.
+    ~35 bytes per S element (t*TW*(TW+ks-1)), far above the naive
+    S+blocks estimate (a t=4 full-width W=320 cell measured 16.41 MB vs 5.9
+    modeled — the failure that motivated column tiling).  Since wide images
+    are column-tiled at TW=128, each grid cell sees a 128-wide tile and the
+    model is W-invariant above 128: budget 15 MB keeps t=16 (~12.7 MB)
+    everywhere, the config hardware-validated at both W=128 and W=320.
     """
     del itemsize  # the dominant temporaries are f32 regardless of input dtype
     tw = min(W, 128)  # wide images are column-tiled at TW=128 in the kernel

@@ -66,21 +66,23 @@ def allgather_rows(rows: np.ndarray) -> np.ndarray:
     every process (used to merge host-sharded validation sweeps).
 
     Row counts may differ per process (videolist shards are uneven), so each
-    local array is NaN-padded to the global max row count before the gather
-    and the padding is dropped afterwards.  No-op in single-process runs.
+    local array is zero-padded to the global max row count before the gather
+    and sliced back to the true per-process counts afterwards (count-based,
+    NOT sentinel-based: a sentinel filter would silently drop genuine NaN
+    metric rows and could crown a bad model_best).  No-op in single-process
+    runs.
     """
     if jax.process_count() == 1:
         return rows
     from jax.experimental import multihost_utils
 
     rows = np.asarray(rows, np.float32)
-    n_max = int(multihost_utils.process_allgather(np.asarray(rows.shape[0])).max())
-    padded = np.full((n_max,) + rows.shape[1:], np.nan, np.float32)
+    counts = np.asarray(multihost_utils.process_allgather(np.asarray(rows.shape[0])))
+    n_max = int(counts.max())
+    padded = np.zeros((n_max,) + rows.shape[1:], np.float32)
     padded[: rows.shape[0]] = rows
     gathered = np.asarray(multihost_utils.process_allgather(padded))  # [P, n_max, ...]
-    flat = gathered.reshape((-1,) + rows.shape[1:])
-    keep = ~np.isnan(flat.reshape(flat.shape[0], -1)).any(axis=1)
-    return flat[keep]
+    return np.concatenate([gathered[p, : int(c)] for p, c in enumerate(counts)])
 
 
 def replicate_state(mesh: Mesh, state):
