@@ -70,13 +70,19 @@ def compute_errors(env, state, loader, K, T, F, mesh=None):
     with ``allgather_rows`` so every process sees the identical global sweep.
     """
     multiproc = jax.process_count() > 1
+    # Multi-process: each host evaluates its own shard with host-DIFFERENT
+    # data (and possibly a different last-batch shape), so the eval program
+    # must be host-local.  Passing the mesh-wide replicated g_params into it
+    # would globalize the jit and silently assume every host feeds identical
+    # targets; device_get is legal (fully replicated) and keeps it local.
+    g_params = jax.device_get(state.g_params) if multiproc else state.g_params
     psnrs, ssims, l2s = [], [], []
     for batch in loader:
         targets = batch["targets"]
         if (not multiproc and mesh is not None and mesh.devices.size > 1
                 and len(targets) % mesh.devices.size == 0):
             targets = shard_batch(mesh, {"targets": targets})["targets"]
-        m = env.eval_metrics(state.g_params, K, T, F, targets)
+        m = env.eval_metrics(g_params, K, T, F, targets)
         psnrs.append(np.asarray(m["psnr"]))
         ssims.append(np.asarray(m["ssim"]))
         l2s.append(np.asarray(m["l2"]))
@@ -100,7 +106,16 @@ def main(argv=None):
     # multi-process TPU runtime (SURVEY.md §5.8 — the TPU-native replacement
     # for NCCL/MPI init; XLA collectives ride ICI/DCN from the shardings).
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+        # jax honors JAX_COORDINATOR_ADDRESS itself but has no env fallback
+        # for the process count/id (only cluster auto-detection, which covers
+        # real TPU pods); accept JAX_NUM_PROCESSES / JAX_PROCESS_ID so plain
+        # `env ... python cli/train.py` launchers (and the 2-process CPU test)
+        # work too.
+        _np, _pid = os.environ.get("JAX_NUM_PROCESSES"), os.environ.get("JAX_PROCESS_ID")
+        jax.distributed.initialize(
+            num_processes=int(_np) if _np else None,
+            process_id=int(_pid) if _pid else None,
+        )
     is_main = jax.process_index() == 0
 
     expr_dir = os.path.join(opt.checkpoints_dir, opt.name)

@@ -83,10 +83,15 @@ def main():
     assert np.array_equal(both[0], both[1]), "params diverged across processes"
 
     # Uneven per-host val sweep: pid 0 contributes 3 rows, pid 1 contributes 2.
+    # One genuine NaN metric element (a constant-clip SSIM can produce one)
+    # must SURVIVE the merge — the round-3 fix replaced NaN-sentinel padding
+    # with count-based slicing precisely so real NaN rows aren't dropped.
     rows = np.full((3 - pid, T), float(pid), np.float32)
+    rows[0, -1] = np.nan
     merged = allgather_rows(rows)
     assert merged.shape == (5, T), merged.shape
     assert sorted(merged[:, 0].tolist()) == [0.0, 0.0, 0.0, 1.0, 1.0]
+    assert int(np.isnan(merged[:, -1]).sum()) == 2, merged[:, -1]
 
     print("MPRESULT " + json.dumps({
         "pid": pid, "G_loss": g_loss, "global_batch": int(targets.shape[0]),

@@ -59,3 +59,85 @@ def test_two_process_distributed_train_step():
         assert r["ok"] and r["devices"] == 8 and r["global_batch"] == 8
     # both processes computed the same global loss
     assert abs(results[0]["G_loss"] - results[1]["G_loss"]) < 1e-5
+
+
+TINY_TAI = ('{"class": "TAIFillInModel", "args": [], '
+            '"kwargs": {"gf_dim": 8, "c_dim": 1, "ks": 5, "num_block": 5, "kf_dim": 4}}')
+
+
+def _launch_train(port, pid, tmp, videolist, max_iter):
+    env = dict(os.environ)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append("--xla_force_host_platform_device_count=4")
+    env.update(
+        XLA_FLAGS=" ".join(flags),
+        JAX_PLATFORMS="cpu",
+        JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+        JAX_NUM_PROCESSES="2",
+        JAX_PROCESS_ID=str(pid),
+        PYTHONPATH=REPO + os.pathsep + env.get("PYTHONPATH", ""),
+    )
+    args = [
+        sys.executable, os.path.join(REPO, "cli", "train.py"),
+        "--name", "mp", "--model_key", TINY_TAI,
+        "--K", "2", "--T", "2", "--F", "2", "--alt_K", "3", "--alt_T", "3", "--alt_F", "3",
+        "--c_dim", "1", "--image_size", "32",
+        "--batch_size", "4",  # host-local -> global 8 over the 2x4-device mesh
+        "--train_video_list_path", videolist, "--val_video_list_path", videolist,
+        "--max_iter", str(max_iter), "--print_freq", "1",
+        "--save_latest_freq", "2", "--validate_freq", "2", "--df_dim", "8", "--Ip", "1",
+        "--checkpoints_dir", os.path.join(tmp, "ckpt"),
+        "--tensorboard_dir", os.path.join(tmp, "tb"),
+    ]
+    return subprocess.Popen(args, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                            text=True, cwd=REPO, env=env)
+
+
+def test_two_process_cli_train_and_resume(tmp_path):
+    """Full cli/train.py under 2 jax.distributed processes: process-sharded
+    train data, per-host val sweep + allgather merge, best-checkpoint rule on
+    the global curves, then a second launch exercising the host-0 resume
+    broadcast.  Covers the multi-process branches no in-process test can
+    (env-var init, writer-on-main vis on host-local params)."""
+    import numpy as np
+
+    tmp = str(tmp_path)
+    rng = np.random.RandomState(3)
+    lines = []
+    for i in range(8):
+        path = os.path.join(tmp, f"clip{i}.npy")
+        base = rng.randint(0, 200, (1, 32, 32, 3)).astype(np.float32)
+        drift = rng.randint(-2, 3, (8, 1, 1, 3)).cumsum(0)
+        np.save(path, np.clip(base + drift, 0, 255).astype(np.uint8))
+        lines.append(f"{path} 1-8")
+    videolist = os.path.join(tmp, "list.txt")
+    with open(videolist, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    for max_iter, expect_resume in ((2, False), (3, True)):
+        port = _free_port()
+        procs = [_launch_train(port, pid, tmp, videolist, max_iter) for pid in range(2)]
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=900)
+                outs.append(out)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, f"worker failed:\n{out[-6000:]}"
+        main_out = outs[0] if "training done" in outs[0] else outs[1]
+        assert "training done" in main_out
+        assert ("Loading latest snapshot..." in main_out) == expect_resume
+        if not expect_resume:
+            # the validation sweep ran at iter 2 and merged on the main host
+            val_lines = [ln for out in outs for ln in out.splitlines()
+                         if ln.startswith("[val] iter 2:")]
+            assert len(val_lines) >= 1, outs[0][-2000:]
+
+    expr = os.path.join(tmp, "ckpt", "mp")
+    for name in ("model_latest.ckpt", "model_00000002.ckpt", "model_best.ckpt"):
+        assert os.path.isdir(os.path.join(expr, name)), os.listdir(expr)

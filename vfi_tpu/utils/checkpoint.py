@@ -25,6 +25,28 @@ def _abs(path: str) -> str:
     return os.path.abspath(path)
 
 
+def _checkpointer() -> ocp.Checkpointer:
+    """A PyTree checkpointer whose barriers are scoped to THIS process.
+
+    Snapshots are host-local by design: payloads are device_get numpy, the
+    training CLI saves from the main process only and broadcasts the resume
+    decision/state explicitly (cli/train.py).  The default orbax Checkpointer
+    barriers across ALL processes inside save() — a main-only save would then
+    desync the workers (observed: 'Checkpointer:save_start' name mismatch
+    against the validation allgather in the 2-process CLI test).
+    """
+    if jax.process_count() > 1:
+        me = jax.process_index()
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=me, active_processes={me},
+                barrier_sync_key_prefix=f"proc{me}",
+            ),
+        )
+    return ocp.PyTreeCheckpointer()
+
+
 def save_snapshot(save_dir: str, name: str, state: Any, counters: dict) -> None:
     """Save a training-state pytree + scalar counters under ``save_dir/name``.
 
@@ -39,7 +61,7 @@ def save_snapshot(save_dir: str, name: str, state: Any, counters: dict) -> None:
         "state": flax.serialization.to_state_dict(jax.device_get(state)),
         "counters": {k: np.asarray(v) for k, v in counters.items()},
     }
-    ckptr = ocp.PyTreeCheckpointer()
+    ckptr = _checkpointer()
     ckptr.save(path, payload, force=True)
 
 
@@ -50,7 +72,7 @@ def load_snapshot(save_dir: str, name: str, state_template: Any) -> tuple[Any, d
     path = _abs(os.path.join(save_dir, name))
     if not os.path.isdir(path):
         raise FileNotFoundError(f"no snapshot at {path}")
-    ckptr = ocp.PyTreeCheckpointer()
+    ckptr = _checkpointer()
     payload = ckptr.restore(path)
     state = flax.serialization.from_state_dict(jax.device_get(state_template), payload["state"])
     return state, payload["counters"]
