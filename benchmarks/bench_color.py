@@ -10,10 +10,19 @@ exercises the Pallas sepconv tiling/VMEM picker at W=320 (ops/sepconv.py
 dispatches per-shape; this was only ever run at W=128 before round 3).
 
 Knobs: C_DTYPE=float32|bfloat16, C_BATCH (default 4), C_PARTS=fwd,train,
-C_REMAT=1 (gradient-checkpoint rollout submodules — the wide shape is
-memory-cliffed: B=2 runs 261 ms/step but B=3 OOMs at compile and B=4
-compiles into a spilling schedule at ~2000 ms/step, so remat is the lever)
+C_REMAT=1 (gradient-checkpoint rollout submodules).
 Usage: python benchmarks/bench_color.py [iters]
+
+HISTORY: the round-3 "B=4 memory cliff" (2065 ms/step vs 261 at B=2) was a
+measurement artifact of THIS script — the train loop used to feed the host
+numpy batch into train_step every iteration, re-uploading ~43 MB over the
+axon tunnel per step.  With the batch device-put once (like every other
+train bench), B=4 bf16 measures 351 ms/step (87.8 ms/sample — better
+per-sample than B=2) and remat is NOT needed: the G program's planned temp
+is 15.60 GiB at B=4 (AOT memory_analysis, benchmarks/mem_wide.py), which
+fits beside a single resident train state.  The 2403-2737 ms A/B readings
+(ab_wide_bwd.py) carry the second artifact: TWO resident B=4 states push
+the program past HBM into a spilling schedule.
 """
 
 import json
@@ -78,13 +87,16 @@ def bench_train(iters):
     rng = np.random.RandomState(0)
     batch = rng.uniform(-1, 1, (B, K + T + F, H, W, 3)).astype(np.float32)
     state = env.init_state(jax.random.PRNGKey(0), batch, K, T, F)
+    # Device-put ONCE: feeding the numpy batch per iteration re-uploads
+    # ~43 MB/step over the tunnel and dominated the old measurement.
+    targets = jnp.asarray(batch)
 
     # chain the evolving state through the loop so donation works
-    state, m = env.train_step(state, K, T, F, batch)
+    state, m = env.train_step(state, K, T, F, targets)
     np.asarray(m["G_loss"])
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, m = env.train_step(state, K, T, F, batch)
+        state, m = env.train_step(state, K, T, F, targets)
     np.asarray(m["G_loss"])
     return (time.perf_counter() - t0) / iters * 1000
 

@@ -151,6 +151,38 @@ def test_scan_rollout_matches_unrolled():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_remat_rollout_matches_plain():
+    """MCNet(remat=True) — gradient-checkpointed rollout submodules, the
+    memory lever for high-resolution training (wide-W 256x320 spills at B=4
+    without it) — must be forward-identical AND gradient-identical to the
+    plain rollout on the same params: nn.remat changes scheduling, not math."""
+    from vfi_tpu.nn.mcnet import MCNet
+
+    rng = jax.random.PRNGKey(0)
+    B, K, T_, H, W = 2, 3, 2, 16, 16
+    diff = jax.random.normal(rng, (B, K - 1, H, W, 1))
+    xt = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 1))
+    plain = MCNet(gf_dim=8, c_dim=1)
+    variables = plain.init(jax.random.PRNGKey(7), T_, diff, xt)
+    rematted = MCNet(gf_dim=8, c_dim=1, remat=True)
+
+    def loss(model, v):
+        return jnp.sum(model.apply(v, T_, diff, xt).pred ** 2)
+
+    out_p = plain.apply(variables, T_, diff, xt)
+    out_r = rematted.apply(variables, T_, diff, xt)
+    for name, a, b in zip(out_p._fields, out_p, out_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7, err_msg=name)
+
+    g_p = jax.grad(lambda v: loss(plain, v))(variables)
+    g_r = jax.grad(lambda v: loss(rematted, v))(variables)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        g_p, g_r)
+
+
 def test_max_pool2_matches_reduce_window():
     """max_pool2's block-reshape formulation (cheap gradient, no
     select_and_scatter on TPU) must be forward-identical to the windowed

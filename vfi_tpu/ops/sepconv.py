@@ -801,8 +801,9 @@ def _pick_row_tile_bwd(H: int, W: int, ks: int) -> int:
 # fused adjoints (B=8 bi-TAI: AD 158 ms/step bf16 vs fused 169; f32 tie).
 # Measured boundary points on the 16 GB v5e:
 #   * B=16 f32 KTH 128^2 (S ~933 MB): XLA-AD OOMs -> need the fused adjoints.
-#   * B=4 bf16 UCF 256x320 (S ~727 MB): XLA-AD runs the GAN step at 2065 ms
-#     vs 2737 ms through the column-tiled fused adjoints -> prefer XLA-AD.
+#   * B=4 bf16 UCF 256x320 (S ~727 MB): XLA-AD runs the GAN step at 350 ms
+#     vs 385 ms through the column-tiled fused adjoints -> prefer XLA-AD
+#     (clean single-state measurement, benchmarks/wide_remat.py AB_MODE=bwd).
 # 800 MB sits between those two measurements.
 _PALLAS_BWD_BYTES_THRESHOLD = 800 * 1024**2
 
