@@ -9,7 +9,14 @@ trace time, so each variant builds its own environment and traces its step
 under the value in effect then.
 
 Usage: python benchmarks/ab_wide_bwd.py [iters_per_block] [blocks]
-Knobs: AB_BATCH (default 4), AB_DTYPE (default bfloat16)
+Knobs: AB_BATCH (default 2), AB_DTYPE (default bfloat16)
+
+CAUTION: this script keeps BOTH variants' train states resident.  At B=4
+the wide G program plans 15.60 GiB of temp (benchmarks/mem_wide.py) — two
+resident states push it into a spilling schedule and the readings become
+memory-pressure artifacts (the round-3 "2403-2737 ms" numbers).  For B>=3
+use benchmarks/wide_remat.py AB_MODE=bwd, which runs the variants
+sequentially with a single resident state (clean B=4: 350 vs 385 ms).
 """
 
 import os
@@ -26,7 +33,7 @@ setup_jax()
 import jax
 import numpy as np
 
-B = int(os.environ.get("AB_BATCH", "4"))
+B = int(os.environ.get("AB_BATCH", "2"))
 DTYPE = os.environ.get("AB_DTYPE", "bfloat16")
 K, T, F, H, W = 4, 3, 4, 256, 320
 
