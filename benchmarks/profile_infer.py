@@ -6,7 +6,9 @@ Captures one trace per batch size and prints the per-iteration device-time
 breakdown by HLO category side by side.
 
 Usage: python benchmarks/profile_infer.py [batches ...]   (default: 24 32)
-Knobs: BENCH_DTYPE as in bench.py.
+Knobs: BENCH_DTYPE as in bench.py; WIDE=1 profiles the UCF-shape TAI_color
+(256x320 RGB, num_block=4, K=4/T=3/F=4 — the wide-W column-tiled sepconv
+path) instead of the KTH-gray flagship; default batches become [8, 16].
 """
 
 import glob
@@ -37,8 +39,28 @@ def device_breakdown(trace_dir):
     return by
 
 
+def wide_build(batch):
+    """UCF-shape TAI_color builder (mirrors benchmarks/ab_color_batch.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vfi_tpu.models.fill_in import TAIFillInModel
+
+    K, T, F, H, W = 4, 3, 4, 256, 320
+    model = TAIFillInModel(gf_dim=64, c_dim=3, feature_size=3, ks=51, num_block=4)
+    rng = jax.random.PRNGKey(0)
+    p = jax.random.uniform(rng, (batch, K, H, W, 3), minval=-1.0, maxval=1.0)
+    f = jax.random.uniform(rng, (batch, F, H, W, 3), minval=-1.0, maxval=1.0)
+    variables = jax.jit(model.init, static_argnums=1)(rng, T, p, f)
+    if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16":
+        variables, p, f = jax.tree.map(lambda a: a.astype(jnp.bfloat16), (variables, p, f))
+    fwd = jax.jit(lambda v, p, f: model.apply(v, T, p, f)["pred"])
+    return fwd, variables, p, f
+
+
 def main():
-    batches = [int(b) for b in sys.argv[1:]] or [24, 32]
+    wide = os.environ.get("WIDE", "0") == "1"
+    batches = [int(b) for b in sys.argv[1:]] or ([8, 16] if wide else [24, 32])
 
     from vfi_tpu.utils.jax_setup import setup_jax
 
@@ -49,10 +71,10 @@ def main():
 
     results = {}
     for b in batches:
-        fwd, variables, p, f = build(b)
+        fwd, variables, p, f = (wide_build if wide else build)(b)
         np.asarray(fwd(variables, p, f))
         np.asarray(fwd(variables, p, f))
-        out_dir = f"/tmp/vfi_profile_infer_b{b}"
+        out_dir = f"/tmp/vfi_profile_infer_{'wide_' if wide else ''}b{b}"
         import jax
 
         jax.profiler.start_trace(out_dir)
