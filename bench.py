@@ -168,10 +168,14 @@ def main():
     _init_backend_with_retry()
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
-    # B=48 is the measured single-chip sweet spot with the fused Pallas
-    # sepconv + tap-major kernel-head layout (bf16 interleaved A/B, r3:
-    # B=24 990 < B=48 1036 f/s; B=32 is a local dip at ~888).
-    batch = int(os.environ.get("BENCH_BATCH", "48"))
+    # B=64 is the measured single-chip sweet spot (bf16 interleaved A/Bs, r3:
+    # B=24 990 < B=48 1036 < B=64 f/s; B=32 is a local dip at ~888; B=96/128
+    # regress).  Mechanism (benchmarks/roofline_trace.py): XLA lays the
+    # C_out=64 convs out batch-minor, so their lane occupancy is the folded
+    # batch mod 128 — the doubled-batch rollout at B=64 runs them at 2B=128
+    # (exact lane fill) vs 75% at B=48 and 50% at B=32.  Two independent
+    # interleaved A/Bs: 994 vs 1017 and 946 vs 983 f/s (B=48 vs B=64).
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     fps, dt = measure_fps(batch, iters)
     log(f"bi-TAI B={batch}: {dt * 1000:.1f} ms/batch -> {fps:.1f} middle-frames/sec")
