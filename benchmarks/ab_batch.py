@@ -26,7 +26,8 @@ import numpy as np
 
 BATCHES = [int(b) for b in os.environ.get("AB_BATCHES", "48,96,128").split(",")]
 DTYPE = os.environ.get("AB_DTYPE", "bfloat16")
-K = T = F = 5
+K = F = 5
+T = int(os.environ.get("AB_T", "5"))  # 10 = the KTH m=10 config
 H = W = 128
 ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 BLOCKS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
