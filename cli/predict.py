@@ -106,7 +106,20 @@ def main(argv=None):
     batches = Prefetcher(
         batch_iterator(ds, opt.batch_size, False, False, num_workers=opt.num_threads), depth=2
     )
+    n_batch = 0
+    tracing = False
     for batch in batches:
+        # Serving observability: trace a window of prediction batches (same
+        # semantics as train.py --profile_steps; train.py:258-264).
+        n_batch += 1
+        if opt.profile_steps is not None:
+            if n_batch == opt.profile_steps[0]:
+                jax.profiler.start_trace(opt.profile_dir)
+                tracing = True
+            elif n_batch == opt.profile_steps[1] and tracing:
+                jax.profiler.stop_trace()
+                tracing = False
+                print(f"profiler trace written to {opt.profile_dir}")
         targets = batch["targets"]
         preceding = targets[:, :K]
         following = targets[:, -F:]
@@ -147,6 +160,9 @@ def main(argv=None):
                         save_video_frames(to_uint8(np.asarray(out[key][b])), dest, prefix, K, H, W)
         n_done += len(batch["clip_label"])
         print(f"processed {n_done}/{len(ds)} clips", flush=True)
+    if tracing:  # STOP batch never reached (short dataset) — close the trace
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {opt.profile_dir}")
     print("predictions written to", opt.qual_result_root)
 
 

@@ -149,6 +149,10 @@ def build_test_parser() -> ArgFileParser:
     g = p.add_argument_group("TPU parameters")
     g.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"],
                    help="Inference dtype (bfloat16 is ~1.3x faster on TPU)")
+    g.add_argument("--profile_steps", type=int, nargs=2, default=None, metavar=("START", "STOP"),
+                   help="Capture a jax.profiler trace between these prediction batches "
+                        "(1-based, half-open; analyze with benchmarks/roofline_trace.py)")
+    g.add_argument("--profile_dir", type=str, default="/tmp/vfi_tpu_trace")
     return p
 
 
