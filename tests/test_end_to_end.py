@@ -1,6 +1,7 @@
 """CPU-runnable end-to-end slice: predict -> PNG dump -> quant pipeline
 (BASELINE.json config 1, at test scale)."""
 
+import glob
 import os
 import subprocess
 import sys
@@ -54,9 +55,14 @@ def test_predict_quant_summarize_pipeline(dataset, tmp_path):
             "--model_key", "TimeWeightedPFFillInModel",
             "--test_video_list_path", dataset,
             "--qual_result_root", qual,
+            # serving-observability window: trace batch 1 (short dataset, so
+            # the STOP batch is never reached and the loop-exit path closes it)
+            "--profile_steps", "1", "99", "--profile_dir", str(tmp_path / "trace"),
         ],
         cwd=REPO,
     )
+    # the profiler trace window must have been captured and closed
+    assert glob.glob(str(tmp_path / "trace" / "**" / "*.trace.json.gz"), recursive=True)
     clips = os.listdir(qual)
     assert len(clips) == 2
     frames = sorted(os.listdir(os.path.join(qual, clips[0])))
