@@ -104,6 +104,39 @@ def _assert_grad_trees_match(grads_jax, grads_torch):
         assert rel < REL_TOL, (jax.tree_util.keystr(k), rel)
 
 
+def test_adam_step_parity():
+    """Closes the training-update chain: with forward and gradients proven
+    equal (tests above), the remaining link is the optimizer.  optax.adam at
+    the environments' exact hyperparameters (environments.py:83 here,
+    torch.optim.Adam(lr, (beta1, 0.999)) in the reference,
+    src/environments/environments.py:153) must step identically."""
+    import optax
+
+    rng = np.random.RandomState(0)
+    w0 = rng.randn(16, 16).astype(np.float32)
+    lr, b1 = 1e-3, 0.9
+    grads = [rng.randn(16, 16).astype(np.float32) for _ in range(3)]
+
+    tw = torch.nn.Parameter(torch.tensor(w0.copy()))
+    t_opt = torch.optim.Adam([tw], lr=lr, betas=(b1, 0.999))
+    for g in grads:
+        t_opt.zero_grad()
+        tw.grad = torch.tensor(g)
+        t_opt.step()
+
+    tx = optax.adam(lr, b1=b1, b2=0.999)
+    p = np.asarray(w0)
+    import jax.numpy as jnp
+
+    p = jnp.asarray(p)
+    st = tx.init(p)
+    for g in grads:
+        u, st = tx.update(jnp.asarray(g), st, p)
+        p = optax.apply_updates(p, u)
+
+    np.testing.assert_allclose(np.asarray(p), tw.detach().numpy(), atol=5e-7, rtol=0)
+
+
 def test_slomo_grad_parity():
     """Gates the flow-warp ADJOINT: ops/warp.py warp_mode='torch03' backward
     vs torch grid_sample's backward (slomo.py:265-286), through the full
