@@ -60,7 +60,13 @@ def time_block(rec, iters):
     return (time.perf_counter() - t0) / iters
 
 
-recs = {B: build(B) for B in BATCHES}
+recs = {}
+for B in BATCHES:
+    try:
+        recs[B] = build(B)
+    except Exception as e:  # OOM a variant (e.g. B=64 wide), keep the rest
+        print(f"B={B}: skipped ({type(e).__name__}: {str(e)[:120]})", flush=True)
+BATCHES = [B for B in BATCHES if B in recs]
 fps = {B: [] for B in BATCHES}
 for _ in range(BLOCKS):
     for B in BATCHES:
