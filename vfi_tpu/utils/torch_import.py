@@ -211,11 +211,11 @@ def import_generator_state_dict(
         if wkey not in sd:
             missing.append(wkey)
             continue
-        w = _CONVERTERS[kind](np.asarray(sd.pop(wkey), dtype))
+        w = _CONVERTERS[kind](np.array(sd.pop(wkey), dtype))
         _insert(params, fpath, "kernel" if kind != "linear" else "kernel", w)
         report.converted += 1
         if bkey in sd:
-            _insert(params, fpath, "bias", np.asarray(sd.pop(bkey), dtype))
+            _insert(params, fpath, "bias", np.array(sd.pop(bkey), dtype))
             report.converted += 1
     if missing:
         raise KeyError(f"reference state_dict is missing expected keys: {missing}")
@@ -244,7 +244,7 @@ def import_discriminator_state_dict(
         if key not in sd:
             raise KeyError(f"reference discriminator state_dict is missing {key}")
         report.converted += 1
-        return np.asarray(sd.pop(key), dtype)
+        return np.array(sd.pop(key), dtype)
 
     for i, seq in enumerate((0, 2, 4, 6)):
         params[f"conv{i}"] = {
@@ -253,7 +253,7 @@ def import_discriminator_state_dict(
         }
         ukey = f"conv_layers.{seq}.u"
         if ukey in sd:
-            sn[f"conv{i}"] = {"sn": {"u": np.asarray(sd.pop(ukey), dtype).reshape(-1)}}
+            sn[f"conv{i}"] = {"sn": {"u": np.array(sd.pop(ukey), dtype).reshape(-1)}}
 
     lw = take("linear_layer.weight")  # [1, in] over (c, h, w)-major features
     C = df_dim * 8
@@ -263,7 +263,7 @@ def import_discriminator_state_dict(
     lw = lw.reshape(1, C, side, side).transpose(0, 2, 3, 1).reshape(1, -1)
     params["head"] = {"kernel": np.ascontiguousarray(lw.T), "bias": take("linear_layer.bias")}
     if "linear_layer.u" in sd:
-        sn["head"] = {"sn": {"u": np.asarray(sd.pop("linear_layer.u"), dtype).reshape(-1)}}
+        sn["head"] = {"sn": {"u": np.array(sd.pop("linear_layer.u"), dtype).reshape(-1)}}
 
     report.skipped = [k for k in sd if not k.endswith("num_batches_tracked")]
     return params, sn, report
