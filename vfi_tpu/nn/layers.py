@@ -14,8 +14,21 @@ import jax.numpy as jnp
 xavier_conv = nn.initializers.xavier_normal()
 
 
-def Conv(features: int, kernel: int, *, strides: int = 1, name: str | None = None) -> nn.Conv:
-    """3x3/5x5/7x7 'same' conv with xavier-normal init and zero bias."""
+def Conv(features: int, kernel: int, *, strides: int = 1, name: str | None = None):
+    """3x3/5x5/7x7 'same' conv with xavier-normal init and zero bias.
+
+    VFI_INT8 (read at model-construction/trace time, like VFI_PAD_C1)
+    swaps in the int8 ``QConv`` serving mode — identical "params" pytree,
+    int8 MXU compute (see nn/quant.py): 1 = dynamic per-batch scales,
+    2 = static calibrated scales (a "quant" flax collection).
+    """
+    import os
+
+    mode = os.environ.get("VFI_INT8", "0")
+    if mode in ("1", "2"):
+        from .quant import QConv
+
+        return QConv(features, kernel, strides=strides, static=(mode == "2"), name=name)
     return nn.Conv(
         features,
         (kernel, kernel),
