@@ -41,7 +41,17 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _bench_int8() -> bool:
+    """BENCH_INT8=1 serves with the static-calibrated int8 conv mode
+    (nn/quant.py; measured +4.6% over bf16 interleaved, benchmarks/ab_int8.py).
+    Off by default: it changes numerics and must be quality-validated
+    per-checkpoint, so the headline stays the exact bf16 path."""
+    return os.environ.get("BENCH_INT8", "0") == "1"
+
+
 def build(batch):
+    if _bench_int8():
+        os.environ["VFI_INT8"] = "2"  # read at trace time by nn.layers.Conv
     import jax
     import jax.numpy as jnp
 
@@ -57,6 +67,10 @@ def build(batch):
 
     if _bench_dtype() == "bfloat16":
         variables, p, f = jax.tree.map(lambda a: a.astype(jnp.bfloat16), (variables, p, f))
+    if _bench_int8():
+        # one-batch calibration of the static activation scales
+        calib = jax.jit(lambda v, p, f: model.apply(v, T, p, f, mutable=["quant"])[1])
+        variables = {**variables, **jax.device_get(calib(variables, p, f))}
 
     @jax.jit
     def fwd(variables, p, f):
@@ -196,7 +210,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"bi-TAI KTH128 inference (K=F=5, T={T}, gray, {_bench_dtype()})",
+                "metric": f"bi-TAI KTH128 inference (K=F=5, T={T}, gray, "
+                          f"{_bench_dtype()}{'+int8' if _bench_int8() else ''})",
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
                 # denominator: measured 1-core torch run of the faithful

@@ -14,7 +14,9 @@ in alternating blocks; also reports the output agreement (max-abs + PSNR vs
 the bf16 program on identical weights/inputs).
 
 Usage: python benchmarks/ab_int8.py [iters_per_block] [blocks]
-Knobs: AB_BATCH (default 64), AB_T (default 5), AB_SKIP_DYNAMIC=1
+Knobs: AB_BATCH (default 64; 16 with AB_COLOR), AB_T (default 5; 3 with
+AB_COLOR), AB_SKIP_DYNAMIC=1, AB_COLOR=1 (TAI_color 256x320 num_block=4,
+the UCF/HMDB serving shape)
 """
 
 import os
@@ -32,10 +34,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-B = int(os.environ.get("AB_BATCH", "64"))
-K = F = 5
-T = int(os.environ.get("AB_T", "5"))
-H = W = 128
+COLOR = os.environ.get("AB_COLOR", "0") == "1"
+B = int(os.environ.get("AB_BATCH", "16" if COLOR else "64"))
+K = F = 4 if COLOR else 5
+T = int(os.environ.get("AB_T", "3" if COLOR else "5"))
+H, W = (256, 320) if COLOR else (128, 128)
+C = 3 if COLOR else 1
+NUM_BLOCK = 4 if COLOR else 5
 
 ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 30
 BLOCKS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
@@ -45,10 +50,10 @@ def build(mode: str):
     os.environ["VFI_INT8"] = mode
     from vfi_tpu.models.fill_in import TAIFillInModel
 
-    model = TAIFillInModel(gf_dim=64, c_dim=1, feature_size=3, ks=51, num_block=5)
+    model = TAIFillInModel(gf_dim=64, c_dim=C, feature_size=3, ks=51, num_block=NUM_BLOCK)
     rng = jax.random.PRNGKey(0)
-    p = jax.random.uniform(rng, (B, K, H, W, 1), minval=-1.0, maxval=1.0)
-    f = jax.random.uniform(rng, (B, F, H, W, 1), minval=-1.0, maxval=1.0)
+    p = jax.random.uniform(rng, (B, K, H, W, C), minval=-1.0, maxval=1.0)
+    f = jax.random.uniform(rng, (B, F, H, W, C), minval=-1.0, maxval=1.0)
     variables = jax.jit(model.init, static_argnums=1)(rng, T, p, f)
     variables, p, f = jax.tree.map(lambda a: a.astype(jnp.bfloat16), (variables, p, f))
     if mode == "2":

@@ -50,6 +50,10 @@ def save_video_frames(frames_u8: np.ndarray, dest: str, prefix: str, start_t: in
 def main(argv=None):
     opt = parse_args(build_test_parser(), argv, allow_unknown=True)
     listopt(opt)
+    # int8 serving mode (nn/quant.py): the env var is read at module-
+    # construction/trace time, so set it before create_model/init below.
+    if opt.quantize != "none":
+        os.environ["VFI_INT8"] = {"int8": "2", "int8_dynamic": "1"}[opt.quantize]
 
     if opt.disjoint_clips:
         ds = DisjointVideoClipDataset(
@@ -89,6 +93,26 @@ def main(argv=None):
             import jax.numpy as jnp
 
             g_params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), g_params)
+        if opt.quantize == "int8":
+            # Calibrate the static activation scales on the first clips,
+            # then bake them into the serving program as constants (they
+            # are per-layer scalars; see nn/quant.py).
+            n_cal = max(1, min(opt.calib_clips, len(ds)))
+            cal = np.stack([ds[i]["targets"] for i in range(n_cal)])
+            cp = cal[:, : opt.K]
+            cf = cal[:, opt.K + opt.T :] if not opt.disjoint_clips else cal[:, opt.K :]
+            if opt.dtype == "bfloat16":
+                import jax.numpy as jnp
+
+                cp, cf = jnp.asarray(cp, jnp.bfloat16), jnp.asarray(cf, jnp.bfloat16)
+            calibrate = jax.jit(
+                lambda v, p, f: model.apply(
+                    v, opt.T, p, f, mutable=["quant"], rngs={"sample": jax.random.PRNGKey(0)}
+                )[1]
+            )
+            upd = calibrate({"params": g_params, "quant": variables.get("quant", {})}, cp, cf)
+            env.extra_collections = jax.device_get(upd)
+            print(f"int8 activation scales calibrated on {n_cal} clips")
 
     # Multi-chip inference: shard full batches over the data mesh axis
     # (single-chip and ragged final batches fall back to replication).

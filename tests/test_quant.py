@@ -91,6 +91,72 @@ def test_static_calibration_records_amax_and_bounds_error():
     assert bool(jnp.all(jnp.isfinite(y2)))
 
 
+def test_predict_cli_int8_static(tmp_path):
+    """--quantize int8 through the real predict CLI: calibration + serving +
+    agreement with the unquantized run's PNGs (subprocesses isolate VFI_INT8)."""
+    import subprocess
+    import sys
+
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    # tiny synthetic dataset (the test_end_to_end recipe)
+    rng = np.random.RandomState(0)
+    lines = []
+    for i in range(2):
+        path = str(tmp_path / f"clip{i}.npy")
+        base = rng.randint(0, 200, (1, 32, 32, 3)).astype(np.float32)
+        drift = rng.randint(-2, 3, (12, 1, 1, 3)).cumsum(0)
+        np.save(path, np.clip(base + drift, 0, 255).astype(np.uint8))
+        lines.append(f"{path} 1-12")
+    videolist = tmp_path / "list.txt"
+    videolist.write_text("\n".join(lines) + "\n")
+
+    # a snapshot for a tiny TAI model (predict loads model_best.ckpt)
+    model_key = ('{"class": "TAIFillInModel", "args": [], "kwargs": '
+                 '{"gf_dim": 8, "c_dim": 1, "ks": 5, "num_block": 5, "kf_dim": 4}}')
+    from vfi_tpu.models.registry import create_model
+    from vfi_tpu.train.environments import TrainState
+    from vfi_tpu.utils import checkpoint as ckpt
+
+    model = create_model(model_key)
+    p = jnp.zeros((1, 2, 32, 32, 1))
+    v = jax.jit(model.init, static_argnums=1)(jax.random.PRNGKey(0), 2, p, p)
+    expr_dir = str(tmp_path / "ckpt" / "q")
+    state = TrainState(step=jnp.zeros((), jnp.int32), g_params=v["params"], g_opt=None)
+    ckpt.save_snapshot(expr_dir, "model_best.ckpt", state, {})
+
+    def run_predict(qual, extra):
+        env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo}
+        env.pop("VFI_INT8", None)
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "cli", "predict.py"),
+             "--K", "2", "--T", "2", "--F", "2", "--image_size", "32",
+             "--c_dim", "1", "--batch_size", "2", "--model_key", model_key,
+             "--name", "q", "--checkpoints_dir", str(tmp_path / "ckpt"),
+             "--test_video_list_path", str(videolist), "--qual_result_root", qual]
+            + extra,
+            cwd=repo, env=env, capture_output=True, text=True, timeout=1200,
+        )
+        assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+        return r
+
+    q32 = str(tmp_path / "qual32")
+    q8 = str(tmp_path / "qual8")
+    run_predict(q32, [])
+    r = run_predict(q8, ["--quantize", "int8", "--calib_clips", "2"])
+    assert "int8 activation scales calibrated on 2 clips" in r.stdout
+
+    from PIL import Image
+
+    for clip in os.listdir(q32):
+        for name in os.listdir(os.path.join(q32, clip)):
+            if not name.startswith("pred_middle_"):
+                continue
+            a = np.asarray(Image.open(os.path.join(q32, clip, name)), np.float32)
+            b = np.asarray(Image.open(os.path.join(q8, clip, name)), np.float32)
+            # int8 serving stays visually identical at this scale (uint8 PNGs)
+            assert np.mean(np.abs(a - b)) < 2.0, (clip, name, np.mean(np.abs(a - b)))
+
+
 def test_tai_forward_int8_static_close_to_f32(monkeypatch):
     from vfi_tpu.models.fill_in import TAIFillInModel
 

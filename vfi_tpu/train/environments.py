@@ -59,6 +59,12 @@ class BaseEnvironment:
     def __init__(self, model, cfg):
         self.model = model
         self.cfg = cfg
+        # Extra (non-"params") variable collections for serving — e.g. the
+        # calibrated "quant" activation scales of the int8 mode (nn/quant.py).
+        # `self` is a static jit argument, so these are baked into the
+        # compiled program as constants: set them BEFORE the first
+        # forward_test call (later mutations would not retrace).
+        self.extra_collections = {}
 
     # -- init ---------------------------------------------------------------
     def init_state(self, rng: jax.Array, sample_targets: np.ndarray, K: int, T: int, F: int) -> TrainState:
@@ -87,7 +93,8 @@ class BaseEnvironment:
     def forward_test(self, g_params, T: int, preceding, following) -> Dict[str, jax.Array]:
         # "sample" feeds the randomized-order SCT variants; harmless otherwise.
         return self.model.apply(
-            {"params": g_params}, T, preceding, following, rngs={"sample": jax.random.PRNGKey(0)}
+            {"params": g_params, **self.extra_collections},
+            T, preceding, following, rngs={"sample": jax.random.PRNGKey(0)},
         )
 
     @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))

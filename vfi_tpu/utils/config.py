@@ -149,6 +149,15 @@ def build_test_parser() -> ArgFileParser:
     g = p.add_argument_group("TPU parameters")
     g.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"],
                    help="Inference dtype (bfloat16 is ~1.3x faster on TPU)")
+    g.add_argument("--quantize", type=str, default="none",
+                   choices=["none", "int8", "int8_dynamic"],
+                   help="int8 conv serving mode (nn/quant.py): 'int8' = static "
+                        "calibrated scales (fastest, +5%% over bf16; calibrated "
+                        "on --calib_clips clips), 'int8_dynamic' = per-batch "
+                        "scales (slower than bf16; diagnostic). Numerics change; "
+                        "validate per-checkpoint via compute_quant_results.")
+    g.add_argument("--calib_clips", type=int, default=8,
+                   help="clips used to calibrate --quantize int8 activation scales")
     g.add_argument("--profile_steps", type=int, nargs=2, default=None, metavar=("START", "STOP"),
                    help="Capture a jax.profiler trace between these prediction batches "
                         "(1-based, half-open; analyze with benchmarks/roofline_trace.py)")
