@@ -6,7 +6,8 @@ than the differences between the large-batch candidates — so the candidate
 batches are compiled together and timed in alternating blocks.
 
 Usage: python benchmarks/ab_batch.py [iters] [blocks]
-Knobs: AB_BATCHES (comma list, default "48,96,128"), AB_DTYPE
+Knobs: AB_BATCHES (comma list, default "48,96,128"), AB_DTYPE,
+AB_INT8=1 (static-calibrated int8 serving mode, nn/quant.py)
 """
 
 import os
@@ -33,7 +34,12 @@ ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 BLOCKS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
 
+INT8 = os.environ.get("AB_INT8", "0") == "1"
+
+
 def build(B):
+    if INT8:
+        os.environ["VFI_INT8"] = "2"  # read at trace time by nn.layers.Conv
     from vfi_tpu.models.fill_in import TAIFillInModel
 
     model = TAIFillInModel(gf_dim=64, c_dim=1, feature_size=3, ks=51, num_block=5)
@@ -43,6 +49,9 @@ def build(B):
     variables = jax.jit(model.init, static_argnums=1)(rng, T, p, f)
     if DTYPE == "bfloat16":
         variables, p, f = jax.tree.map(lambda a: a.astype(jnp.bfloat16), (variables, p, f))
+    if INT8:
+        calib = jax.jit(lambda v, p, f: model.apply(v, T, p, f, mutable=["quant"])[1])
+        variables = {**variables, **jax.device_get(calib(variables, p, f))}
     jfwd = jax.jit(lambda v, p, f: model.apply(v, T, p, f)["pred"])
     np.asarray(jfwd(variables, p, f))
     return jfwd, variables, p, f
