@@ -75,4 +75,4 @@ for blk in range(BLOCKS):
 for B in BATCHES:
     ms = np.median(res[B])
     print(f"B={B}: blocks {[f'{m:.1f}' for m in res[B]]} ms -> median {ms:.1f} ms "
-          f"= {B * T / (ms / 1e3):.0f} frames/s ({DTYPE})")
+          f"= {B * T / (ms / 1e3):.0f} frames/s ({DTYPE}{'+int8' if INT8 else ''})")

@@ -35,6 +35,13 @@ VFI_INT8=2 — static (calibrated):
   * accumulation in int32, dequantized in the conv epilogue:
                  y = conv_i8(xq, wq) * (x_scale * w_scale[c]) + b.
 
+Coverage: every model family's conv tower routes through the shared
+``nn.layers.Conv`` helper (MC-Net, TAI/TWI kernel nets, SloMo UNet, SCT
+frame codecs), so the mode quantizes all of them; the only serving-path
+conv NOT quantized is SCT's 1x1 attention value-projection
+(nn/transformer.py, a raw nn.Conv — negligible FLOPs).  The VGG16
+perceptual tower (nn/vgg.py) is a training-only loss and stays f32/bf16.
+
 No reference equivalent exists (the reference serves f32 CUDA,
 src/environments/environments.py:86-89); this is an opt-in,
 numerics-changing serving mode (read at model construction/trace time),
