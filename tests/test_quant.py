@@ -91,6 +91,46 @@ def test_static_calibration_records_amax_and_bounds_error():
     assert bool(jnp.all(jnp.isfinite(y2)))
 
 
+@pytest.mark.parametrize(
+    "model_key",
+    [
+        '{"class": "MCNetFillInModel", "args": [], "kwargs": {"gf_dim": 8, "c_dim": 1}}',
+        '{"class": "SloMoFillInModel", "args": [], "kwargs": {"base_dim": 8, "c_dim": 3}}',
+        '{"class": "SCTSkipConScaledTForwardFillInModel", "args": [], '
+        '"kwargs": {"c_dim": 3, "num_blocks": 1, "num_heads": 2, "d_v": 16}}',
+    ],
+)
+def test_model_zoo_int8_static_smoke(model_key, monkeypatch):
+    """Every conv-tower family serves through the quantized graph: init under
+    VFI_INT8=2, calibrate the "quant" scales, apply, and require finite output
+    + int8 compute in the jaxpr (wiring check; numerics gated by the TAI test)."""
+    import json
+
+    from vfi_tpu.models.registry import create_model
+
+    monkeypatch.setenv("VFI_INT8", "2")
+    model = create_model(model_key)
+    c = json.loads(model_key)["kwargs"]["c_dim"]
+    rng = np.random.RandomState(0)
+    K = T = F = 2
+    p = jnp.asarray(rng.uniform(-1, 1, (1, K, 32, 32, c)).astype(np.float32))
+    f = jnp.asarray(rng.uniform(-1, 1, (1, F, 32, 32, c)).astype(np.float32))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    v = model.init(rngs, T, p, f)
+    assert "quant" in v, "static int8 must register calibration scalars"
+    _, upd = model.apply(v, T, p, f, mutable=["quant"], rngs={"sample": jax.random.PRNGKey(1)})
+    v = {**v, **upd}
+    out = model.apply(v, T, p, f, rngs={"sample": jax.random.PRNGKey(1)})
+    assert out["pred"].shape == (1, T, 32, 32, c)
+    assert bool(jnp.all(jnp.isfinite(out["pred"])))
+    jx = str(
+        jax.make_jaxpr(
+            lambda v: model.apply(v, T, p, f, rngs={"sample": jax.random.PRNGKey(1)})["pred"]
+        )(v)
+    )
+    assert jx.count("i8") > 10
+
+
 def test_predict_cli_int8_static(tmp_path):
     """--quantize int8 through the real predict CLI: calibration + serving +
     agreement with the unquantized run's PNGs (subprocesses isolate VFI_INT8)."""
