@@ -57,12 +57,14 @@ def main(argv=None):
 
     if opt.disjoint_clips:
         ds = DisjointVideoClipDataset(
-            opt.c_dim, opt.test_video_list_path, opt.K, opt.F, opt.image_size, opt.padding_size, opt.data_root
+            opt.c_dim, opt.test_video_list_path, opt.K, opt.F, opt.image_size, opt.padding_size, opt.data_root,
+            emit_uint8=opt.device_normalize,
         )
     else:
         ds = ContiguousVideoClipDataset(
             opt.c_dim, opt.test_video_list_path, opt.K + opt.T + opt.F, False, False,
             opt.image_size, False, opt.padding_size, opt.data_root,
+            emit_uint8=opt.device_normalize,
         )
     print(f"# testing videos = {len(ds)}")
 
@@ -72,9 +74,22 @@ def main(argv=None):
     # Host-side classical models (optical flow) bypass jax entirely.
     host_model = getattr(model, "host_forward", None)
 
+    def host_normalize(u8: np.ndarray) -> np.ndarray:
+        """uint8 BGR -> the dataset's float pipeline ([-1,1], gray if c_dim=1);
+        used under --device_normalize for the few host-side consumers (init
+        sample, calibration clips, GT PNG writes)."""
+        x = u8.astype(np.float32) / 255.0
+        if opt.c_dim == 1:
+            from vfi_tpu.ops.image import _BGR_LUMA
+
+            x = (x @ np.asarray(_BGR_LUMA, np.float32))[..., None]
+        return x * 2.0 - 1.0
+
     g_params = None
     if host_model is None:
         sample = ds[0]["targets"][None]
+        if opt.device_normalize:
+            sample = host_normalize(sample)
         if opt.disjoint_clips:
             p, f = sample[:, : opt.K], sample[:, opt.K :]
         else:
@@ -99,6 +114,8 @@ def main(argv=None):
             # are per-layer scalars; see nn/quant.py).
             n_cal = max(1, min(opt.calib_clips, len(ds)))
             cal = np.stack([ds[i]["targets"] for i in range(n_cal)])
+            if opt.device_normalize:
+                cal = host_normalize(cal)
             cp = cal[:, : opt.K]
             cf = cal[:, opt.K + opt.T :] if not opt.disjoint_clips else cal[:, opt.K :]
             if opt.dtype == "bfloat16":
@@ -124,6 +141,14 @@ def main(argv=None):
 
     K, T, F = opt.K, opt.T, opt.F
     H, W = opt.image_size
+    to_frames = None
+    if opt.device_normalize and host_model is None:
+        import jax.numpy as jnp
+
+        from vfi_tpu.ops.image import frames_from_uint8
+
+        out_dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
+        to_frames = jax.jit(lambda u8: frames_from_uint8(u8, opt.c_dim, dtype=out_dtype))
     n_done = 0
     from vfi_tpu.data.prefetch import Prefetcher
 
@@ -151,7 +176,7 @@ def main(argv=None):
         if host_model is not None:
             out = host_model(T, preceding, following)
         else:
-            if opt.dtype == "bfloat16":
+            if opt.dtype == "bfloat16" and to_frames is None:
                 import jax.numpy as jnp
 
                 preceding = jnp.asarray(preceding, jnp.bfloat16)
@@ -161,9 +186,15 @@ def main(argv=None):
                 sh = batch_sharding(mesh)
                 preceding = jax.device_put(preceding, sh)
                 following = jax.device_put(following, sh)
+            if to_frames is not None:
+                # uint8 crossed the host->device boundary; normalize on chip
+                preceding, following = to_frames(preceding), to_frames(following)
             out = env.forward_test(g_params, T, preceding, following)
             out = jax.device_get(out)
 
+        if opt.device_normalize:
+            # GT writes need the float pipeline's gray/[-1,1] encoding
+            targets = host_normalize(targets)
         for b, label in enumerate(batch["clip_label"]):
             dest = os.path.join(opt.qual_result_root, label)
             # GT frames come from the host batch (preceding/following may be

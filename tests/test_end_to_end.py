@@ -91,6 +91,44 @@ def test_predict_quant_summarize_pipeline(dataset, tmp_path):
     assert "TW_P_F" in table and table.startswith("+")
 
 
+def test_predict_device_normalize_matches_host_path(dataset, tmp_path):
+    """--device_normalize (uint8 H2D + on-device normalization) must produce
+    the same PNGs as the host-normalized float pipeline (same serving flag as
+    train.py; ops/image.py:frames_from_uint8)."""
+    from PIL import Image
+
+    # clips of EXACTLY seq_len frames: the contiguous dataset random-crops a
+    # K+T+F window per run, so longer clips would compare different frames
+    dataset = _make_dataset(str(tmp_path / "clips6"), n_frames=6)
+    outs = {}
+    for mode, extra in (("host", []), ("device", ["--device_normalize"])):
+        qual = str(tmp_path / f"qual_{mode}")
+        _run(
+            [
+                os.path.join(REPO, "cli", "predict.py"),
+                "--K", "2", "--T", "2", "--F", "2", "--image_size", "32",
+                "--c_dim", "1", "--batch_size", "2",
+                "--model_key", "TimeWeightedPFFillInModel",
+                "--test_video_list_path", dataset,
+                "--qual_result_root", qual,
+            ] + extra,
+            cwd=REPO,
+        )
+        outs[mode] = qual
+
+    clips = sorted(os.listdir(outs["host"]))
+    assert clips == sorted(os.listdir(outs["device"]))
+    n_frames = 0
+    for clip in clips:
+        for name in sorted(os.listdir(os.path.join(outs["host"], clip))):
+            a = np.asarray(Image.open(os.path.join(outs["host"], clip, name)), np.int16)
+            b = np.asarray(Image.open(os.path.join(outs["device"], clip, name)), np.int16)
+            # identical up to float-rounding at the uint8 quantization boundary
+            assert np.max(np.abs(a - b)) <= 1, (clip, name)
+            n_frames += 1
+    assert n_frames == 16  # 2 clips x (2P + 2M gt + 2M pred + 2F)
+
+
 def test_table_renderer_matches_prettytable_golden():
     """Byte-for-byte check against a block from the reference's golden tables
     (quant_tables_orig/kth_baselines_m=5_psnr.txt)."""

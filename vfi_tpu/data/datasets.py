@@ -228,10 +228,12 @@ class DisjointVideoClipDataset(ContiguousVideoClipDataset):
     """Inference-only dataset: preceding + following ranges without middles
     (reference base_dataset.py:205-248)."""
 
-    def __init__(self, c_dim, video_list_path, K, F, image_size, padding_size=(0, 0), data_root=None):
+    def __init__(self, c_dim, video_list_path, K, F, image_size, padding_size=(0, 0), data_root=None,
+                 emit_uint8: bool = False):
         # seq_len = K + F: the frames actually read per item (the overridden
         # __getitem__ ignores it, but keep the parent's invariant meaningful).
-        super().__init__(c_dim, video_list_path, K + F, False, False, image_size, False, padding_size, data_root)
+        super().__init__(c_dim, video_list_path, K + F, False, False, image_size, False, padding_size, data_root,
+                         emit_uint8=emit_uint8)
         self.K = K
         self.F = F
 

@@ -158,6 +158,9 @@ def build_test_parser() -> ArgFileParser:
                         "validate per-checkpoint via compute_quant_results.")
     g.add_argument("--calib_clips", type=int, default=8,
                    help="clips used to calibrate --quantize int8 activation scales")
+    g.add_argument("--device_normalize", action="store_true",
+                   help="Ship uint8 batches to the device and normalize there "
+                        "(4x less host->device traffic; same flag as train.py)")
     g.add_argument("--profile_steps", type=int, nargs=2, default=None, metavar=("START", "STOP"),
                    help="Capture a jax.profiler trace between these prediction batches "
                         "(1-based, half-open; analyze with benchmarks/roofline_trace.py)")
