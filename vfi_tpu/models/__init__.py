@@ -22,6 +22,10 @@ def __getattr__(name):
         from .optical_flow import OFFillInModel
 
         return OFFillInModel
+    if name in ("SCTSkipConFillInModel", "SCTSuperSkipConFillInModel"):
+        from . import legacy_sct
+
+        return getattr(legacy_sct, name)
     if name.startswith("SCT"):
         from . import sct
 
