@@ -174,6 +174,13 @@ def main(argv=None):
         following = targets[:, -F:]
 
         if host_model is not None:
+            if opt.device_normalize:
+                # --device_normalize ships uint8 batches, but host-side models
+                # (e.g. OFFillInModel) consume float32 BGR in [-1,1]
+                # (models/optical_flow.py host_forward contract) — normalize on
+                # the host before calling them.
+                preceding = host_normalize(preceding)
+                following = host_normalize(following)
             out = host_model(T, preceding, following)
         else:
             if opt.dtype == "bfloat16" and to_frames is None:

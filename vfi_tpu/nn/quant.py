@@ -95,8 +95,12 @@ class QConv(nn.Module):
 
         wq, w_scale = quantize_symmetric(w, axes=(0, 1, 2))  # [1,1,1,out]
         if self.static:
+            # Initialized to 0.0 (not 1.0) so calibration can record amax
+            # values below 1 — small-range activations (post-tanh features)
+            # would otherwise quantize against a too-large scale.  The 1e-12
+            # floor on x_scale below guards the all-zeros-calibration case.
             amax = self.variable(
-                "quant", "act_amax", lambda: jnp.asarray(1.0, jnp.float32)
+                "quant", "act_amax", lambda: jnp.asarray(0.0, jnp.float32)
             )
             if self.is_mutable_collection("quant"):  # calibration pass
                 cur = jnp.max(jnp.abs(x.astype(jnp.float32)))

@@ -316,6 +316,16 @@ class SCTEnvironment(L2GDLDiscEnvironment):
 
 def create_training_environment(model, cfg) -> BaseEnvironment:
     """Dispatch on generator type, mirroring environments.py:24-52."""
+    import os
+
+    if os.environ.get("VFI_INT8", "0") in ("1", "2"):
+        # int8 QConv is a SERVING mode: jnp.round has a zero gradient, so a
+        # leaked VFI_INT8 would silently kill every conv weight gradient.
+        raise RuntimeError(
+            "VFI_INT8 is set but int8 QConv is inference-only (zero gradients "
+            "through jnp.round); unset it for training (use cli/predict.py "
+            "--quantize int8 for serving)."
+        )
     from ..models.fill_in import (
         BidirectionalSimpleAverageFillInModel,
         BidirectionalTimeWeightedAverageFillInModel,
