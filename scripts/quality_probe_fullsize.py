@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Full-paper-size serving-dtype quality probe ON the TPU (VERDICT r3 item 6).
+
+The toy-scale probe (scripts/int8_quality_probe.py, gf=8/ks=5/32² on CPU)
+measured int8-static at −0.36 dB / −0.012 SSIM vs f32 — but deployers will
+quote that number for the real model, and the docs themselves prescribe
+per-checkpoint validation.  This probe runs the SAME train→predict→metrics
+pipeline at the paper's full architecture (TAI_gray gf=64 ks=51 nb=5, K=T=F=5,
+128²) on the real chip:
+
+  1. trains full-size bi-TAI on synthetic moving-gradient clips via cli/train.py
+     (bf16 + --device_normalize, the hardware-validated round-2 recipe) for
+     --iters steps — enough for a structured, non-random checkpoint;
+  2. predicts the held-out clips four ways — f32, bf16, int8-static, and
+     (opt-in) int8-dynamic — each through cli/predict.py on the TPU;
+  3. computes PSNR/SSIM vs ground truth with the standard eval pipeline and
+     prints per-mode scores plus deltas vs f32.
+
+Every TPU process runs serially (one axon client at a time).  Results land in
+QUALITY_r04.json at the repo root.
+
+Run: python scripts/quality_probe_fullsize.py [--iters 400] [--work /tmp/q_full]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+MODEL_KEY = ('{"class": "TAIFillInModel", "args": [], "kwargs": '
+             '{"gf_dim": 64, "c_dim": 1, "ks": 51, "num_block": 5, "kf_dim": 32}}')
+
+K = T = F = 5
+HW = 128
+
+
+def make_dataset(root: str, n_clips: int, seed: int, n_frames: int = 16) -> str:
+    """Moving sinusoid-grating clips at 128² — structured, learnable motion."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(root, exist_ok=True)
+    lines = []
+    yy, xx = np.mgrid[0:HW, 0:HW].astype(np.float32)
+    for i in range(n_clips):
+        vx, vy = rng.uniform(-3, 3, 2)
+        wl = rng.uniform(16, 48)
+        phase = rng.uniform(0, 2 * np.pi)
+        frames = []
+        for t in range(n_frames):
+            img = 127.5 + 70 * np.sin(2 * np.pi * (xx + vx * t) / wl + phase) * np.cos(
+                2 * np.pi * (yy + vy * t) / wl
+            )
+            frames.append(img)
+        vid = np.clip(np.stack(frames), 0, 255).astype(np.uint8)[..., None]
+        vid = np.repeat(vid, 3, axis=-1)
+        path = os.path.join(root, f"clip{i}.npy")
+        np.save(path, vid)
+        lines.append(f"{path} 1-{n_frames}")
+    list_path = os.path.join(root, "list.txt")
+    with open(list_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return list_path
+
+
+def run(args, timeout=7200):
+    r = subprocess.run([sys.executable] + args, cwd=REPO, env=os.environ.copy(),
+                       capture_output=True, text=True, timeout=timeout)
+    if r.returncode != 0:
+        sys.exit(f"FAILED: {args}\nstdout:\n{r.stdout[-3000:]}\nstderr:\n{r.stderr[-3000:]}")
+    return r
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=400)
+    ap.add_argument("--work", type=str, default="/tmp/q_full")
+    ap.add_argument("--skip_train", action="store_true",
+                    help="reuse an existing checkpoint in --work")
+    ap.add_argument("--dynamic_int8", action="store_true")
+    opt = ap.parse_args()
+
+    train_list = make_dataset(os.path.join(opt.work, "train"), 24, seed=3)
+    test_list = make_dataset(os.path.join(opt.work, "test"), 6, seed=99)
+    ckpt_dir = os.path.join(opt.work, "ckpt")
+
+    if not opt.skip_train:
+        print(f"training FULL-SIZE bi-TAI for {opt.iters} iters on TPU "
+              "(bf16, device-normalize)...", flush=True)
+        run([os.path.join(REPO, "cli", "train.py"), "--name", "probe",
+             "--model_key", MODEL_KEY,
+             "--K", str(K), "--T", str(T), "--F", str(F),
+             "--alt_K", "7", "--alt_T", "10", "--alt_F", "7",
+             "--c_dim", "1", "--image_size", str(HW),
+             "--batch_size", "8", "--train_video_list_path", train_list,
+             "--val_video_list_path", test_list, "--max_iter", str(opt.iters),
+             "--print_freq", "100", "--save_latest_freq", str(opt.iters),
+             "--validate_freq", str(opt.iters + 1),  # skip the val sweep; predict measures
+             "--df_dim", "64", "--Ip", "1",
+             "--train_dtype", "bfloat16", "--device_normalize",
+             "--checkpoints_dir", ckpt_dir,
+             "--tensorboard_dir", os.path.join(opt.work, "tb")])
+
+    modes = [("f32", []), ("bf16", ["--dtype", "bfloat16"]),
+             ("int8", ["--dtype", "bfloat16", "--quantize", "int8", "--calib_clips", "4"])]
+    if opt.dynamic_int8:
+        modes.append(("int8_dynamic", ["--dtype", "bfloat16", "--quantize", "int8_dynamic"]))
+
+    results = {}
+    for mode, extra in modes:
+        qual = os.path.join(opt.work, f"qual_{mode}")
+        quant = os.path.join(opt.work, f"quant_{mode}")
+        print(f"predict [{mode}] on TPU...", flush=True)
+        run([os.path.join(REPO, "cli", "predict.py"),
+             "--K", str(K), "--T", str(T), "--F", str(F), "--c_dim", "1",
+             "--image_size", str(HW), "--batch_size", "6",
+             "--model_key", MODEL_KEY, "--name", "probe",
+             "--checkpoints_dir", ckpt_dir, "--snapshot_file_name", "model_latest.ckpt",
+             "--test_video_list_path", test_list, "--qual_result_root", qual] + extra)
+        run([os.path.join(REPO, "cli", "compute_quant_results.py"), qual, quant,
+             str(K), str(T)])
+        data = np.load(os.path.join(quant, "results.npz"))
+        results[mode] = {"psnr": float(data["psnr"].mean()), "ssim": float(data["ssim"].mean())}
+        print(f"{mode}: PSNR {results[mode]['psnr']:.3f} dB, SSIM {results[mode]['ssim']:.4f}",
+              flush=True)
+
+    out = {"config": f"TAI_gray gf=64 ks=51 nb=5 K=T=F=5 {HW}^2, "
+                     f"{opt.iters} TPU train iters on synthetic gratings",
+           "modes": results}
+    for mode in results:
+        if mode != "f32":
+            out[f"{mode}_minus_f32"] = {
+                "psnr": round(results[mode]["psnr"] - results["f32"]["psnr"], 4),
+                "ssim": round(results[mode]["ssim"] - results["f32"]["ssim"], 5),
+            }
+    with open(os.path.join(REPO, "QUALITY_r04.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,7 @@ import sys
 
 def main():
     coord, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    mode = sys.argv[4] if len(sys.argv) > 4 else "static"
 
     flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
              if "xla_force_host_platform_device_count" not in f]
@@ -55,6 +56,9 @@ def main():
 
     mesh = make_mesh()
     assert mesh.devices.size == 8
+
+    if mode == "dynamic":
+        return run_dynamic(pid, nproc, mesh)
 
     # Process-local shard: DIFFERENT data per process (the loader would hand
     # each host its own videolist shard).
@@ -96,6 +100,76 @@ def main():
     print("MPRESULT " + json.dumps({
         "pid": pid, "G_loss": g_loss, "global_batch": int(targets.shape[0]),
         "devices": jax.device_count(), "ok": True,
+    }), flush=True)
+
+
+def run_dynamic(pid: int, nproc: int, mesh):
+    """Dynamic-(K,T,F) curriculum under jax.distributed (VERDICT r3, item 4).
+
+    The pod-scale training configuration combines two subsystems previously
+    tested only in isolation: `train_step_dynamic` (one compiled program for
+    every sampled length, train/dynamic_env.py) and the multi-process mesh.
+    Mirrors cli/train.py:252-270: each process draws (K, T, F) from its own
+    `np.random.RandomState(seed)` with the SHARED seed — agreement across
+    hosts is by identical-seed construction, and this test asserts it holds
+    step by step (plus bitwise param agreement after the cross-process
+    gradient all-reduce at every sampled length).
+    """
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from vfi_tpu.models.fill_in import TAIFillInModel
+    from vfi_tpu.parallel.mesh import replicate_state, shard_batch
+    from vfi_tpu.train.dynamic_env import create_dynamic_environment
+    from vfi_tpu.utils.config import TrainConfig
+
+    max_K = max_T = max_F = 3
+    H = W = 32
+    local_B = 4
+
+    model = TAIFillInModel(gf_dim=8, c_dim=1, ks=5, num_block=5, kf_dim=4)
+    cfg = TrainConfig(K=max_K, T=max_T, F=max_F, df_dim=8, Ip=1, disc_window_size=3)
+    env = create_dynamic_environment(model, cfg)
+    assert env is not None
+
+    # Host-identical init; host-DIFFERENT max-length batch shards.
+    init_rng = np.random.RandomState(0)
+    init_batch = init_rng.uniform(
+        -1, 1, (local_B, max_K + max_T + max_F, H, W, 1)).astype(np.float32)
+    state = env.init_state(jax.random.PRNGKey(0), init_batch, max_K, max_T, max_F)
+    state = replicate_state(mesh, state)
+
+    data_rng = np.random.RandomState(100 + pid)
+    local = data_rng.uniform(
+        -1, 1, (local_B, max_K + max_T + max_F, H, W, 1)).astype(np.float32)
+    targets = shard_batch(mesh, {"targets": local})["targets"]
+
+    ktf_rng = np.random.RandomState(7)  # the shared --seed (cli/train.py:252)
+    sampled = []
+    for _ in range(3):
+        K, T, F = env.sample_ktf(ktf_rng, True)
+        sampled.append((K, T, F))
+        state, terms = env.train_step_dynamic(state, targets, np.asarray([K, T, F]))
+    g_loss = float(np.asarray(terms["G_loss"]))
+    assert np.isfinite(g_loss)
+    # The 3 draws at maxima (2..3, 1..3, 2..3) must include >= 2 distinct
+    # length combinations, or the test degenerates to the static case.
+    assert len(set(sampled)) >= 2, sampled
+
+    # Sampled lengths must agree across processes at every step...
+    all_sampled = np.asarray(multihost_utils.process_allgather(
+        np.asarray(sampled, np.int32)))
+    assert np.array_equal(all_sampled[0], all_sampled[1]), all_sampled
+    # ...and params must remain bitwise identical after each host consumed a
+    # DIFFERENT data shard through the shared dynamic program.
+    leaf = np.asarray(jax.device_get(jax.tree.leaves(state.g_params)[0]))
+    both = np.asarray(multihost_utils.process_allgather(leaf))
+    assert np.array_equal(both[0], both[1]), "params diverged across processes"
+
+    print("MPRESULT " + json.dumps({
+        "pid": pid, "G_loss": g_loss, "devices": jax.device_count(),
+        "sampled": [list(s) for s in sampled], "ok": True,
     }), flush=True)
 
 

@@ -163,10 +163,16 @@ def sepconv_mxu(x: jax.Array, v: jax.Array, h: jax.Array) -> jax.Array:
     # required to hit the reference-parity tolerance in tests.
     if x.dtype == jnp.bfloat16:
         dt, prec = jnp.bfloat16, lax.Precision.DEFAULT
+    elif x.dtype == jnp.float64:
+        # f64 (CPU-only; requires jax_enable_x64): exact double accumulation,
+        # used by the grad-parity exactness leg to separate formulation bugs
+        # from f32 reduction-order noise (scripts/grad_parity_fullsize.py).
+        dt, prec = jnp.float64, lax.Precision.HIGHEST
     else:
         # HIGH = 3-pass bf16 on the MXU: ~2x faster than HIGHEST with ~2^-16
         # relative error — far inside the reference-parity tolerance.
         dt, prec = jnp.float32, lax.Precision.HIGH
+    acc_dt = jnp.float64 if dt == jnp.float64 else jnp.float32
     S = _skew_rows(h.astype(dt))  # [B, H, W, W+ks-1]
 
     # Row slabs: slabs[b, y, fy, u, c] = x[b, y+fy, u, c]
@@ -175,10 +181,10 @@ def sepconv_mxu(x: jax.Array, v: jax.Array, h: jax.Array) -> jax.Array:
 
     # Batched matmul over (b, y): [ks, u] x [x, u]^T -> [ks, x]  (per channel).
     inner = jnp.einsum(
-        "byfuc,byxu->byfxc", slabs, S, preferred_element_type=jnp.float32, precision=prec
+        "byfuc,byxu->byfxc", slabs, S, preferred_element_type=acc_dt, precision=prec
     )
     out = jnp.einsum(
-        "byfxc,byxf->byxc", inner.astype(dt), v.astype(dt), preferred_element_type=jnp.float32, precision=prec
+        "byfxc,byxf->byxc", inner.astype(dt), v.astype(dt), preferred_element_type=acc_dt, precision=prec
     )
     return out.astype(x.dtype)
 
