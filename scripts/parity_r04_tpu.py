@@ -294,13 +294,21 @@ def _run_grads(model, v, T, p, f, tgt, device, flag: str | None):
 
 def run_grad(name: str, c_dim: int, num_block: int, K: int, T: int, F: int,
              H: int, W: int, cases) -> dict:
-    """cases: list of (label, B, dtype_str, include_cpu_ref)."""
+    """cases: list of (label, B, dtype_str, include_cpu_ref[, skip_xla_ad]).
+
+    skip_xla_ad: don't attempt the SEPCONV_PALLAS_BWD=0 leg — used where that
+    program is a KNOWN deterministic libtpu AOT compiler crash (wide f32; see
+    ops/sepconv.py:_use_pallas_bwd) so each stage run doesn't burn ~5 min of
+    tunnel time re-crashing the compiler.  Rows merge with the on-disk
+    artifact, so crash rows recorded by earlier runs are preserved.
+    """
     cpu = jax.devices("cpu")[0]
     tpu = jax.devices()[0]
 
     params = _mirror_params(c_dim, num_block)
     rows = {}
-    for label, B, dtype_str, with_cpu in cases:
+    for label, B, dtype_str, with_cpu, *rest in cases:
+        skip_xla_ad = bool(rest[0]) if rest else False
         dtype = jnp.bfloat16 if dtype_str == "bf16" else jnp.float32
         p, f = _inputs(c_dim, K, T, F, H, W, B, seed=200 + B)
         tgt = np.random.RandomState(999).uniform(-1, 1, (B, T, H, W, c_dim)).astype(np.float32)
@@ -313,9 +321,23 @@ def run_grad(name: str, c_dim: int, num_block: int, K: int, T: int, F: int,
             m_tpu = _tai(c_dim, num_block, "pallas_mxu")
             v_tpu = jax.device_put(v_host, tpu)
             t0 = time.perf_counter()
-            g_ad = _run_grads(m_tpu, v_tpu, T, pa, fa, tgt, tpu, "0")
+            # The XLA-AD leg is tolerated per-leg: wide f32 full-model XLA-AD
+            # grad programs crash the libtpu AOT compiler (see the workaround
+            # note in ops/sepconv.py:_use_pallas_bwd); production dispatch
+            # routes those shapes to the adjoints, so the adjoint leg is the
+            # one that must be bounded there.
+            g_ad = None
+            if skip_xla_ad:
+                out["error_xla_ad"] = ("skipped: known deterministic libtpu AOT "
+                                       "compiler crash (wide f32 XLA-AD)")
+            else:
+                try:
+                    g_ad = _run_grads(m_tpu, v_tpu, T, pa, fa, tgt, tpu, "0")
+                except Exception as e:  # noqa: BLE001
+                    out["error_xla_ad"] = f"{type(e).__name__}: {str(e)[:200]}"
             g_adj = _run_grads(m_tpu, v_tpu, T, pa, fa, tgt, tpu, "1")
-            out["tpu_adjoint_vs_tpu_ad"] = _grad_compare(g_adj, g_ad)
+            if g_ad is not None:
+                out["tpu_adjoint_vs_tpu_ad"] = _grad_compare(g_adj, g_ad)
             out["seconds_tpu"] = round(time.perf_counter() - t0, 1)
             if with_cpu:
                 m_cpu = _tai(c_dim, num_block, "mxu")
@@ -323,7 +345,8 @@ def run_grad(name: str, c_dim: int, num_block: int, K: int, T: int, F: int,
                 t0 = time.perf_counter()
                 g_ref = _run_grads(m_cpu, v_cpu, T, p, f, tgt, cpu, None)
                 out["seconds_cpu"] = round(time.perf_counter() - t0, 1)
-                out["tpu_ad_vs_cpu_exact"] = _grad_compare(g_ad, g_ref)
+                if g_ad is not None:
+                    out["tpu_ad_vs_cpu_exact"] = _grad_compare(g_ad, g_ref)
                 out["tpu_adjoint_vs_cpu_exact"] = _grad_compare(g_adj, g_ref)
         except Exception as e:  # OOM etc: record honestly, keep the stage alive
             out["error"] = f"{type(e).__name__}: {str(e)[:300]}"
@@ -405,6 +428,11 @@ def _render_md(results):
             if "error" in r:
                 lines.append(f"| {name} | {label} | {r['dtype']}/B={r['B']} | — | ERROR: {r['error']} | — | — | — |")
                 continue
+            if "error_xla_ad" in r:
+                lines.append(
+                    f"| {name} | {label} | {r['dtype']}/B={r['B']} | tpu_xla_ad leg | "
+                    f"libtpu AOT compiler crash (known, routed around in production "
+                    f"dispatch — ops/sepconv.py:_use_pallas_bwd) | — | — | n/a |")
             for key in ("tpu_adjoint_vs_tpu_ad", "tpu_ad_vs_cpu_exact", "tpu_adjoint_vs_cpu_exact"):
                 if key in r:
                     gate = GRAD_GATES.get((r["dtype"], key))
@@ -461,18 +489,34 @@ def main(argv=None):
     if "fwd_wide" in stages:
         results["fwd"]["TAI_color_UCF"] = run_fwd("fwd_wide", 3, 4, 4, 3, 4, Hw, Ww, B=2)
         save(results)
+    def merge_grad(key, new):
+        old_rows = results["grad"].get(key, {}).get("rows", {})
+        new["rows"] = {**old_rows, **new["rows"]}
+        results["grad"][key] = new
+
     if "grad_kth" in stages:
-        results["grad"]["TAI_gray_KTH"] = run_grad(
+        merge_grad("TAI_gray_KTH", run_grad(
             "grad_kth", 1, 5, 5, 5, 5, Hk, Wk,
             cases=[("B2_f32_vs_cpu", 2, "f32", True),
                    ("B8_f32", 8, "f32", False),
-                   ("B16_bf16", 16, "bf16", False)])
+                   ("B16_bf16", 16, "bf16", False)]))
         save(results)
     if "grad_wide" in stages:
-        results["grad"]["TAI_color_UCF"] = run_grad(
+        # The wide f32 grad-program compile envelope on this stack (libtpu
+        # jaxlib-0.9.0 tunnel) is B=1 ONLY: XLA-AD crashes the AOT compiler at
+        # fold=3 and fold=6 (B=1/B=2), and the fused-adjoint program crashes
+        # at fold=6 too (B=2; fold=3 compiles and runs) — every crash
+        # reproduced in fresh processes, and a following bf16 compile in the
+        # SAME process succeeds, so these are deterministic program-specific
+        # compiler bugs, not tunnel wedges.  Production dispatch routes wide
+        # f32 to the adjoints (ops/sepconv.py:_use_pallas_bwd), making B=1
+        # the servable wide-f32 training config; it is bounded here against
+        # the CPU exact-f32 reference.  The B2_f32 both-legs-crash record
+        # from the earlier stage run is preserved by the row merge.
+        merge_grad("TAI_color_UCF", run_grad(
             "grad_wide", 3, 4, 4, 3, 4, Hw, Ww,
-            cases=[("B1_f32", 1, "f32", False),
-                   ("B2_bf16", 2, "bf16", False)])
+            cases=[("B1_f32", 1, "f32", True, True),
+                   ("B2_bf16", 2, "bf16", False)]))
         save(results)
 
     ok = _gate(results)

@@ -239,9 +239,10 @@ def test_dispatch_defaults_per_backend(monkeypatch):
 
 
 def test_pallas_mxu_wide_image_grad():
-    """At this small W>128 shape the S residual is tiny, so the custom VJP
-    dispatches to the XLA-AD banded-matmul backward; gradients must agree
-    with AD through the direct spec."""
+    """Gradients of the fused-forward custom VJP at a W>128 shape must agree
+    with AD through the direct spec.  (On CPU the custom-VJP backward is the
+    XLA-AD banded matmul; on TPU this wide f32 shape now routes to the fused
+    adjoints — see test_bwd_dispatch_wide_f32 and _use_pallas_bwd.)"""
     from jax.experimental.pallas import tpu as pltpu
 
     from vfi_tpu.ops.sepconv import sepconv_direct, sepconv_pallas_mxu
@@ -336,3 +337,24 @@ def test_pallas_mxu_wide_image_column_tiling():
         got = sepconv_pallas_mxu(x, v, h)
     assert got.shape == (B, H, W, C)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_bwd_dispatch_wide_f32(monkeypatch):
+    """Wide-image (W>128) f32 grads must dispatch to the fused adjoints: the
+    XLA-AD formulation deterministically crashes the libtpu AOT compiler at
+    full-model scale (jaxlib 0.9.0, reproduced at UCF 256x320 f32 B=1 and
+    B=2 — PARITY_r04.md), while the adjoint program compiles and runs.  bf16
+    wide shapes below the byte threshold keep the measured-preferred XLA-AD;
+    an explicit SEPCONV_PALLAS_BWD overrides everything."""
+    import importlib
+
+    sc = importlib.import_module("vfi_tpu.ops.sepconv")
+    monkeypatch.delenv("SEPCONV_PALLAS_BWD", raising=False)
+
+    wide = (6, 256, 320, 51)  # UCF B=2 doubled-batch fold, S ~727 MB in f32
+    assert sc._use_pallas_bwd(wide, 4)  # f32: compiler-crash workaround
+    assert not sc._use_pallas_bwd(wide, 2)  # bf16: under threshold -> XLA-AD
+    kth = (40, 128, 128, 51)  # KTH B=8, S ~466 MB f32: stays XLA-AD
+    assert not sc._use_pallas_bwd(kth, 4)
+    monkeypatch.setenv("SEPCONV_PALLAS_BWD", "0")
+    assert not sc._use_pallas_bwd(wide, 4)

@@ -819,6 +819,17 @@ def _use_pallas_bwd(v_shape, itemsize) -> bool:
     if flag in ("0", "1"):
         return flag == "1"
     B, H, W, ks = v_shape
+    # Wide-image f32 grad programs with the XLA-AD sepconv backward crash the
+    # libtpu AOT compiler at full-model scale (v5e tunnel, jaxlib 0.9.0:
+    # remote_compile HTTP 500 "tpu_compile_helper subprocess exit code 1",
+    # reproduced 5x at UCF 256x320 f32 fold=3 and fold=6 = B=1/B=2; the fused
+    # adjoint program at the identical shape compiles and runs, and the
+    # standalone sepconv XLA-AD grad also compiles — a program-scale compiler
+    # bug, not an op bug; scripts/parity_r04_tpu.py).  Route wide f32 to the
+    # column-tiled adjoints; wide bf16 keeps the measured-preferred XLA-AD
+    # below the byte threshold (B=4 bf16: AD 350 ms vs adjoints 385).
+    if itemsize == 4 and W > 128:
+        return True
     # Size of the S residual the XLA-AD backward would materialize in HBM —
     # the quantity that OOMs/pathologizes large shapes.  Wide images (W>128)
     # hit the threshold immediately (W=320 color: S alone is multi-GB), which
