@@ -41,6 +41,7 @@ Usage: python scripts/parity_r04_tpu.py [--stages fwd_kth,fwd_wide,grad_kth,grad
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -423,10 +424,16 @@ def _render_md(results):
         "| Config | Case | dtype/B | Comparison | global L2 rel | worst-leaf L2 rel | worst-leaf max-abs rel | gate |",
         "|---|---|---|---|---|---|---|---|",
     ]
+    def _cell(s: str) -> str:
+        # error strings may carry newlines / '|' / ANSI escapes from the
+        # tunnel's rust-side logging — all of which break a markdown table
+        s = re.sub(r"\x1b\[[0-9;]*m", "", str(s))
+        return " ".join(s.replace("|", "\\|").split())
+
     for name, res in results["grad"].items():
         for label, r in res["rows"].items():
             if "error" in r:
-                lines.append(f"| {name} | {label} | {r['dtype']}/B={r['B']} | — | ERROR: {r['error']} | — | — | — |")
+                lines.append(f"| {name} | {label} | {r['dtype']}/B={r['B']} | — | ERROR: {_cell(r['error'])} | — | — | — |")
                 continue
             if "error_xla_ad" in r:
                 lines.append(
