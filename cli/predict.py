@@ -138,6 +138,8 @@ def main(argv=None):
         from vfi_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
+        print(f"inference mesh: {mesh.devices.size} devices "
+              "(full batches shard; ragged final batches replicate)", flush=True)
 
     K, T, F = opt.K, opt.T, opt.F
     H, W = opt.image_size
@@ -193,6 +195,8 @@ def main(argv=None):
                 sh = batch_sharding(mesh)
                 preceding = jax.device_put(preceding, sh)
                 following = jax.device_put(following, sh)
+                if n_batch == 1:
+                    print(f"batch sharded over {mesh.devices.size} devices", flush=True)
             if to_frames is not None:
                 # uint8 crossed the host->device boundary; normalize on chip
                 preceding, following = to_frames(preceding), to_frames(following)

@@ -129,6 +129,45 @@ def test_predict_device_normalize_matches_host_path(dataset, tmp_path):
     assert n_frames == 16  # 2 clips x (2P + 2M gt + 2M pred + 2F)
 
 
+def test_predict_sharded_matches_replicated(tmp_path):
+    """Multi-chip serving: a full batch sharded over the 8-device data mesh
+    (cli/predict.py mesh branch) must write byte-identical PNGs to the
+    ragged-batch replicated fallback.  The sharded path only fires when
+    batch_size % device_count == 0, so the standard B=2 e2e tests never
+    exercise it — this is its dedicated gate."""
+    from PIL import Image
+
+    # exactly seq_len frames per clip so both runs crop the same window
+    dataset = _make_dataset(str(tmp_path / "clips8"), n_clips=8, n_frames=6)
+    outs = {}
+    for mode, bs in (("sharded", "8"), ("replicated", "2")):
+        qual = str(tmp_path / f"qual_{mode}")
+        r = _run(
+            [
+                os.path.join(REPO, "cli", "predict.py"),
+                "--K", "2", "--T", "2", "--F", "2", "--image_size", "32",
+                "--c_dim", "1", "--batch_size", bs,
+                "--model_key", "TimeWeightedPFFillInModel",
+                "--test_video_list_path", dataset,
+                "--qual_result_root", qual,
+            ],
+            cwd=REPO,
+        )
+        assert ("batch sharded over 8 devices" in r.stdout) == (mode == "sharded"), r.stdout
+        outs[mode] = qual
+
+    clips = sorted(os.listdir(outs["sharded"]))
+    assert clips == sorted(os.listdir(outs["replicated"])) and len(clips) == 8
+    n_frames = 0
+    for clip in clips:
+        for name in sorted(os.listdir(os.path.join(outs["sharded"], clip))):
+            a = np.asarray(Image.open(os.path.join(outs["sharded"], clip, name)))
+            b = np.asarray(Image.open(os.path.join(outs["replicated"], clip, name)))
+            assert np.array_equal(a, b), (clip, name)
+            n_frames += 1
+    assert n_frames == 8 * 8  # 8 clips x (2P + 2M gt + 2M pred + 2F)
+
+
 def test_table_renderer_matches_prettytable_golden():
     """Byte-for-byte check against a block from the reference's golden tables
     (quant_tables_orig/kth_baselines_m=5_psnr.txt)."""
