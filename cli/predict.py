@@ -152,6 +152,8 @@ def main(argv=None):
         out_dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
         to_frames = jax.jit(lambda u8: frames_from_uint8(u8, opt.c_dim, dtype=out_dtype))
     n_done = 0
+    from collections import deque
+
     from vfi_tpu.data.prefetch import Prefetcher
 
     batches = Prefetcher(
@@ -159,6 +161,43 @@ def main(argv=None):
     )
     n_batch = 0
     tracing = False
+
+    def write_batch(out, targets, clip_labels):
+        """Fetch one dispatched batch (np.asarray blocks on the async jax
+        arrays) and write its PNGs.  Called from the in-flight drain below."""
+        nonlocal n_done
+        if opt.device_normalize:
+            # GT writes need the float pipeline's gray/[-1,1] encoding
+            targets = host_normalize(targets)
+        for b, label in enumerate(clip_labels):
+            dest = os.path.join(opt.qual_result_root, label)
+            save_video_frames(to_uint8(targets[b, :K]), dest, "gt_preceding", 0, H, W)
+            save_video_frames(to_uint8(np.asarray(out["pred"][b])), dest, "pred_middle", K, H, W)
+            if not opt.disjoint_clips:
+                save_video_frames(to_uint8(targets[b, K : K + T]), dest, "gt_middle", K, H, W)
+            save_video_frames(to_uint8(targets[b, -F:]), dest, "gt_following", K + T, H, W)
+            if opt.intermediate_preds:
+                for key, prefix in (
+                    ("pred_forward", "pred_middle_forward"),
+                    ("pred_backward", "pred_middle_backward"),
+                    ("interp_net_outputs_1", "interp_net_outputs_1"),
+                    ("interp_net_outputs_2", "interp_net_outputs_2"),
+                ):
+                    if key in out:
+                        save_video_frames(to_uint8(np.asarray(out[key][b])), dest, prefix, K, H, W)
+        n_done += len(clip_labels)
+        print(f"processed {n_done}/{len(ds)} clips", flush=True)
+
+    # Serving pipeline: keep up to VFI_INFLIGHT dispatched batches in flight
+    # before blocking on the oldest one.  jax dispatch is async, so batch
+    # N+1's H2D + compute overlap batch N's D2H fetch and host PNG encoding
+    # (which otherwise serialize with device work — the ~8% non-device gap in
+    # profile_infer.py).  Depth 1 restores the synchronous loop.
+    depth = max(1, int(os.environ.get("VFI_INFLIGHT", "2")))
+    inflight = deque()
+    import time as _time
+
+    t_loop0 = _time.perf_counter()
     for batch in batches:
         # Serving observability: trace a window of prediction batches (same
         # semantics as train.py --profile_steps; train.py:258-264).
@@ -201,31 +240,18 @@ def main(argv=None):
                 # uint8 crossed the host->device boundary; normalize on chip
                 preceding, following = to_frames(preceding), to_frames(following)
             out = env.forward_test(g_params, T, preceding, following)
-            out = jax.device_get(out)
+            inflight.append((out, targets, batch["clip_label"]))
+            while len(inflight) >= depth:
+                write_batch(*inflight.popleft())
+            continue
 
-        if opt.device_normalize:
-            # GT writes need the float pipeline's gray/[-1,1] encoding
-            targets = host_normalize(targets)
-        for b, label in enumerate(batch["clip_label"]):
-            dest = os.path.join(opt.qual_result_root, label)
-            # GT frames come from the host batch (preceding/following may be
-            # device-sharded arrays after device_put).
-            save_video_frames(to_uint8(targets[b, :K]), dest, "gt_preceding", 0, H, W)
-            save_video_frames(to_uint8(np.asarray(out["pred"][b])), dest, "pred_middle", K, H, W)
-            if not opt.disjoint_clips:
-                save_video_frames(to_uint8(targets[b, K : K + T]), dest, "gt_middle", K, H, W)
-            save_video_frames(to_uint8(targets[b, -F:]), dest, "gt_following", K + T, H, W)
-            if opt.intermediate_preds:
-                for key, prefix in (
-                    ("pred_forward", "pred_middle_forward"),
-                    ("pred_backward", "pred_middle_backward"),
-                    ("interp_net_outputs_1", "interp_net_outputs_1"),
-                    ("interp_net_outputs_2", "interp_net_outputs_2"),
-                ):
-                    if key in out:
-                        save_video_frames(to_uint8(np.asarray(out[key][b])), dest, prefix, K, H, W)
-        n_done += len(batch["clip_label"])
-        print(f"processed {n_done}/{len(ds)} clips", flush=True)
+        write_batch(out, targets, batch["clip_label"])
+    while inflight:
+        write_batch(*inflight.popleft())
+    dt_loop = _time.perf_counter() - t_loop0
+    if n_done:
+        print(f"predicted {n_done} clips in {dt_loop:.2f} s "
+              f"({n_done / dt_loop:.2f} clips/s, inflight={depth})", flush=True)
     if tracing:  # STOP batch never reached (short dataset) — close the trace
         jax.profiler.stop_trace()
         print(f"profiler trace written to {opt.profile_dir}")
