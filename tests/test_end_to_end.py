@@ -168,6 +168,41 @@ def test_predict_sharded_matches_replicated(tmp_path):
     assert n_frames == 8 * 8  # 8 clips x (2P + 2M gt + 2M pred + 2F)
 
 
+def test_predict_inflight_depth_invariant(tmp_path):
+    """The serving pipeline (VFI_INFLIGHT dispatched batches in flight) must
+    be a pure latency optimization: PNGs byte-identical at depth 1 (the old
+    synchronous loop) and depth 3 (deeper than the 4-batch run, exercising
+    the post-loop drain)."""
+    from PIL import Image
+
+    dataset = _make_dataset(str(tmp_path / "clips8"), n_clips=8, n_frames=6)
+    outs = {}
+    for depth in ("1", "3"):
+        qual = str(tmp_path / f"qual_d{depth}")
+        env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO,
+               "VFI_INFLIGHT": depth}
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "cli", "predict.py"),
+             "--K", "2", "--T", "2", "--F", "2", "--image_size", "32",
+             "--c_dim", "1", "--batch_size", "2",
+             "--model_key", "TimeWeightedPFFillInModel",
+             "--test_video_list_path", dataset, "--qual_result_root", qual],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert f"inflight={depth})" in r.stdout
+        outs[depth] = qual
+
+    clips = sorted(os.listdir(outs["1"]))
+    assert clips == sorted(os.listdir(outs["3"])) and len(clips) == 8
+    for clip in clips:
+        names = sorted(os.listdir(os.path.join(outs["1"], clip)))
+        assert names == sorted(os.listdir(os.path.join(outs["3"], clip)))
+        for name in names:
+            a = np.asarray(Image.open(os.path.join(outs["1"], clip, name)))
+            b = np.asarray(Image.open(os.path.join(outs["3"], clip, name)))
+            assert np.array_equal(a, b), (clip, name)
+
+
 def test_table_renderer_matches_prettytable_golden():
     """Byte-for-byte check against a block from the reference's golden tables
     (quant_tables_orig/kth_baselines_m=5_psnr.txt)."""
