@@ -81,6 +81,36 @@ GRAD_GATES = {
     ("f32", "tpu_adjoint_vs_cpu_exact"): 2e-2,
     ("bf16", "tpu_adjoint_vs_tpu_ad"): 5e-2,
 }
+#  * wide (W>128) f32 cross-backend gates are calibrated against the MEASURED
+#    cross-backend floor at the same shape (scripts/wide_f32_decompose.py):
+#    CPU exact-f32 vs TPU exact-f32 mxu-AD — identical formulation both sides,
+#    no Pallas anywhere — is 1.93e-2 global-L2-rel, i.e. the narrow-shape 2e-2
+#    gate sits AT the backend-noise floor for wide shapes.  The shipped Pallas
+#    path's own contribution (adjoints + hi/lo fwd vs exact-f32, ONE backend)
+#    is 1.28e-2.  Intrinsic f32 conditioning of the loss/shape (CPU f32 vs
+#    CPU f64, scripts/wide_f32_floor.py) is 2.6e-4 — recorded as diagnostic.
+GRAD_GATES_WIDE_F32 = {
+    ("f32", "tpu_adjoint_vs_cpu_exact"): 3e-2,
+    ("f32", "tpu_ad_vs_cpu_exact"): 3e-2,
+    ("f32", "tpu_adjoint_vs_tpu_mxu_ad"): 2e-2,
+    ("f32", "tpu_mxu_ad_vs_cpu_exact"): 3e-2,
+}
+
+# Decomposition legs recorded by scripts/wide_f32_decompose.py inside a row's
+# "decomposition" dict; gated (wide f32 only) via GRAD_GATES_WIDE_F32 above.
+DECOMP_KEYS = ("tpu_adjoint_vs_tpu_mxu_ad", "tpu_mxu_ad_vs_cpu_exact")
+
+
+def _is_wide(shape: str) -> bool:
+    return int(shape.rsplit("x", 1)[-1]) > 128
+
+
+def _grad_gate(wide: bool, dtype: str, key: str):
+    if wide:
+        g = GRAD_GATES_WIDE_F32.get((dtype, key))
+        if g is not None:
+            return g
+    return GRAD_GATES.get((dtype, key))
 
 
 def _load():
@@ -369,14 +399,21 @@ def _gate(results) -> bool:
                 ok &= r["max_abs_err"] <= FWD_F32_ABS_GATE
             ok &= r["u8_psnr"] >= FWD_U8_PSNR_GATE and r["u8_ssim"] >= FWD_U8_SSIM_GATE
     for res in results["grad"].values():
+        wide = _is_wide(res["shape"])
         for r in res["rows"].values():
             if "error" in r:
                 continue
             for key in ("tpu_adjoint_vs_tpu_ad", "tpu_ad_vs_cpu_exact", "tpu_adjoint_vs_cpu_exact"):
                 if key in r:
-                    gate = GRAD_GATES.get((r["dtype"], key))
+                    gate = _grad_gate(wide, r["dtype"], key)
                     if gate is not None:
                         ok &= r[key]["global_l2_rel"] <= gate
+            dec = r.get("decomposition", {})
+            for key in DECOMP_KEYS:
+                if key in dec:
+                    gate = _grad_gate(wide, r["dtype"], key)
+                    if gate is not None:
+                        ok &= dec[key]["global_l2_rel"] <= gate
     for r in results.get("grad_fullsize_cpu", {}).values():
         ok &= r["passed"]
     return ok
@@ -421,6 +458,16 @@ def _render_md(results):
         "of percent on the worst leaf max-abs while global L2 stays ~1e-2).  Gates: "
         + "; ".join(f"{d} {k} <= {g:g}" for (d, k), g in GRAD_GATES.items()) + ".",
         "",
+        "Wide (W>128) f32 cross-backend gates are calibrated against the measured",
+        "cross-backend floor at the same shape (`scripts/wide_f32_decompose.py`):",
+        "CPU-exact vs TPU exact-f32 mxu-AD — identical formulation both sides, no",
+        "Pallas anywhere — is **1.93e-2** global-L2-rel, so the narrow-shape 2e-2",
+        "gate sits AT the backend-noise floor there; the shipped Pallas path's own",
+        "contribution (same-backend adjoints+hi/lo-fwd vs exact-f32) is **1.28e-2**,",
+        "and the intrinsic f32 conditioning of the loss/shape (CPU f32 vs f64,",
+        "`scripts/wide_f32_floor.py`) is 2.6e-4 (diagnostic).  Wide-f32 gates: "
+        + "; ".join(f"{k} <= {g:g}" for (_, k), g in GRAD_GATES_WIDE_F32.items()) + ".",
+        "",
         "| Config | Case | dtype/B | Comparison | global L2 rel | worst-leaf L2 rel | worst-leaf max-abs rel | gate |",
         "|---|---|---|---|---|---|---|---|",
     ]
@@ -431,6 +478,7 @@ def _render_md(results):
         return " ".join(s.replace("|", "\\|").split())
 
     for name, res in results["grad"].items():
+        wide = _is_wide(res["shape"])
         for label, r in res["rows"].items():
             if "error" in r:
                 lines.append(f"| {name} | {label} | {r['dtype']}/B={r['B']} | — | ERROR: {_cell(r['error'])} | — | — | — |")
@@ -440,14 +488,22 @@ def _render_md(results):
                     f"| {name} | {label} | {r['dtype']}/B={r['B']} | tpu_xla_ad leg | "
                     f"libtpu AOT compiler crash (known, routed around in production "
                     f"dispatch — ops/sepconv.py:_use_pallas_bwd) | — | — | n/a |")
+            def _row(key, m, prefix=""):
+                gate = _grad_gate(wide, r["dtype"], key)
+                lines.append(
+                    f"| {name} | {label} | {r['dtype']}/B={r['B']} | {prefix}{key} | "
+                    f"{m['global_l2_rel']:.2e} | {m['worst_leaf_l2_rel']:.2e} | "
+                    f"{m['worst_leaf_maxabs_rel']:.2e} | "
+                    f"{('<= %g' % gate) if gate else 'diagnostic'} |")
             for key in ("tpu_adjoint_vs_tpu_ad", "tpu_ad_vs_cpu_exact", "tpu_adjoint_vs_cpu_exact"):
                 if key in r:
-                    gate = GRAD_GATES.get((r["dtype"], key))
-                    lines.append(
-                        f"| {name} | {label} | {r['dtype']}/B={r['B']} | {key} | "
-                        f"{r[key]['global_l2_rel']:.2e} | {r[key]['worst_leaf_l2_rel']:.2e} | "
-                        f"{r[key]['worst_leaf_maxabs_rel']:.2e} | "
-                        f"{('<= %g' % gate) if gate else 'diagnostic'} |")
+                    _row(key, r[key])
+            dec = r.get("decomposition", {})
+            for key in DECOMP_KEYS:
+                if key in dec:
+                    _row(key, dec[key], prefix="decomp: ")
+            if "f32_conditioning_floor" in r:
+                _row("f32_conditioning_floor (CPU f32 vs f64)", r["f32_conditioning_floor"])
     if results.get("grad_fullsize_cpu"):
         lines += [
             "",
