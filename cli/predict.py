@@ -131,15 +131,18 @@ def main(argv=None):
             env.extra_collections = jax.device_get(upd)
             print(f"int8 activation scales calibrated on {n_cal} clips")
 
-    # Multi-chip inference: shard full batches over the data mesh axis
-    # (single-chip and ragged final batches fall back to replication).
+    # Multi-chip inference: shard full batches over the data mesh axis.
+    # Ragged final batches are padded to the compiled shape by default (see
+    # the loop below), so they shard too; with --no_pad_final_batch (or a
+    # batch_size not divisible by the device count) they fall back to
+    # replication.
     mesh = None
     if host_model is None and jax.device_count() > 1:
         from vfi_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
         print(f"inference mesh: {mesh.devices.size} devices "
-              "(full batches shard; ragged final batches replicate)", flush=True)
+              "(full batches shard; unpadded ragged batches replicate)", flush=True)
 
     K, T, F = opt.K, opt.T, opt.F
     H, W = opt.image_size
@@ -224,12 +227,25 @@ def main(argv=None):
                 following = host_normalize(following)
             out = host_model(T, preceding, following)
         else:
+            n_real = len(targets)
+            if n_real < opt.batch_size and not opt.no_pad_final_batch:
+                # Static-shape serving: a ragged final batch would trigger a
+                # SECOND full-size XLA compile (minutes cold on paper-size
+                # programs) and fall off the sharded multi-chip path.  Pad to
+                # the compiled batch shape by repeating the last clip;
+                # write_batch iterates the real clip labels only, so padded
+                # rows are never fetched from the device or written.
+                pad = opt.batch_size - n_real
+                preceding = np.concatenate([preceding, np.repeat(preceding[-1:], pad, axis=0)])
+                following = np.concatenate([following, np.repeat(following[-1:], pad, axis=0)])
+                print(f"padded final batch {n_real} -> {opt.batch_size} "
+                      "(one compiled shape; --no_pad_final_batch disables)", flush=True)
             if opt.dtype == "bfloat16" and to_frames is None:
                 import jax.numpy as jnp
 
                 preceding = jnp.asarray(preceding, jnp.bfloat16)
                 following = jnp.asarray(following, jnp.bfloat16)
-            if mesh is not None and len(targets) % mesh.devices.size == 0:
+            if mesh is not None and len(preceding) % mesh.devices.size == 0:
                 from vfi_tpu.parallel.mesh import batch_sharding
                 sh = batch_sharding(mesh)
                 preceding = jax.device_put(preceding, sh)

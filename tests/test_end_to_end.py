@@ -168,6 +168,49 @@ def test_predict_sharded_matches_replicated(tmp_path):
     assert n_frames == 8 * 8  # 8 clips x (2P + 2M gt + 2M pred + 2F)
 
 
+def test_predict_pads_ragged_final_batch(tmp_path):
+    """Static-shape serving: the ragged final batch is padded to the compiled
+    batch shape by default (one XLA program per run; padded batches keep the
+    sharded multi-chip path).  12 clips at batch_size 8 on the 8-device mesh
+    make batch 1 full/sharded and batch 2 ragged (4 -> padded to 8, sharded);
+    PNGs must be byte-identical to the unpadded B=2 replicated run, and
+    --no_pad_final_batch must restore the ragged-shape behavior."""
+    from PIL import Image
+
+    dataset = _make_dataset(str(tmp_path / "clips12"), n_clips=12, n_frames=6)
+    base = [
+        os.path.join(REPO, "cli", "predict.py"),
+        "--K", "2", "--T", "2", "--F", "2", "--image_size", "32",
+        "--c_dim", "1",
+        "--model_key", "TimeWeightedPFFillInModel",
+        "--test_video_list_path", dataset,
+    ]
+    outs = {}
+    for mode, extra in (
+        ("padded", ["--batch_size", "8"]),
+        ("ragged", ["--batch_size", "8", "--no_pad_final_batch"]),
+        ("reference", ["--batch_size", "2"]),
+    ):
+        qual = str(tmp_path / f"qual_{mode}")
+        r = _run(base + extra + ["--qual_result_root", qual], cwd=REPO)
+        assert ("padded final batch 4 -> 8" in r.stdout) == (mode == "padded"), r.stdout
+        if mode == "padded":  # the padded ragged batch stays on the sharded path
+            assert "batch sharded over 8 devices" in r.stdout, r.stdout
+        outs[mode] = qual
+
+    clips = sorted(os.listdir(outs["reference"]))
+    assert len(clips) == 12
+    for mode in ("padded", "ragged"):
+        assert sorted(os.listdir(outs[mode])) == clips
+        for clip in clips:
+            names = sorted(os.listdir(os.path.join(outs["reference"], clip)))
+            assert sorted(os.listdir(os.path.join(outs[mode], clip))) == names
+            for name in names:
+                a = np.asarray(Image.open(os.path.join(outs[mode], clip, name)))
+                b = np.asarray(Image.open(os.path.join(outs["reference"], clip, name)))
+                assert np.array_equal(a, b), (mode, clip, name)
+
+
 def test_predict_inflight_depth_invariant(tmp_path):
     """The serving pipeline (VFI_INFLIGHT dispatched batches in flight) must
     be a pure latency optimization: PNGs byte-identical at depth 1 (the old

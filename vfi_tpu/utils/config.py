@@ -161,6 +161,13 @@ def build_test_parser() -> ArgFileParser:
     g.add_argument("--device_normalize", action="store_true",
                    help="Ship uint8 batches to the device and normalize there "
                         "(4x less host->device traffic; same flag as train.py)")
+    g.add_argument("--no_pad_final_batch", action="store_true",
+                   help="Run the ragged final batch at its own (smaller) shape "
+                        "instead of padding it to --batch_size. Padding keeps "
+                        "the whole run on ONE compiled program (a new batch "
+                        "shape is a fresh full-size XLA compile, minutes cold) "
+                        "and on the sharded multi-chip path; padded rows are "
+                        "never written.")
     g.add_argument("--profile_steps", type=int, nargs=2, default=None, metavar=("START", "STOP"),
                    help="Capture a jax.profiler trace between these prediction batches "
                         "(1-based, half-open; analyze with benchmarks/roofline_trace.py)")
