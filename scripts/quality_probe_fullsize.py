@@ -12,14 +12,20 @@ pipeline at the paper's full architecture (TAI_gray gf=64 ks=51 nb=5, K=T=F=5,
      (bf16 + --device_normalize, the hardware-validated round-2 recipe) for
      --iters steps — enough for a structured, non-random checkpoint;
   2. predicts the held-out clips four ways — f32, bf16, int8-static, and
-     (opt-in) int8-dynamic — each through cli/predict.py on the TPU;
+     (opt-in) int8-dynamic — each through cli/predict.py on the TPU, at BOTH
+     the trained m=5 and the reference's m=10 generalization setting
+     (predict T=10 from the T=5-trained checkpoint, the same workflow behind
+     the reference's kth m=10 tables — README.md:196-221);
   3. computes PSNR/SSIM vs ground truth with the standard eval pipeline and
      prints per-mode scores plus deltas vs f32.
 
 Every TPU process runs serially (one axon client at a time).  Results land in
 QUALITY_r04.json at the repo root.
 
-Run: python scripts/quality_probe_fullsize.py [--iters 400] [--work /tmp/q_full]
+Run: python scripts/quality_probe_fullsize.py [--iters 3000] [--work /tmp/q_full]
+(3000 iters ≈ 8 min of device time at the measured 157 ms/step bf16 recipe;
+the round-4 artifact was first recorded at 400 iters / 31 dB and re-measured
+at 3000 iters for a checkpoint nearer the paper's operating quality.)
 """
 
 import argparse
@@ -76,15 +82,20 @@ def run(args, timeout=7200):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=400)
+    ap.add_argument("--iters", type=int, default=3000)
     ap.add_argument("--work", type=str, default="/tmp/q_full")
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse an existing checkpoint in --work")
     ap.add_argument("--dynamic_int8", action="store_true")
+    ap.add_argument("--skip_m10", action="store_true",
+                    help="skip the m=10 generalization legs")
     opt = ap.parse_args()
 
     train_list = make_dataset(os.path.join(opt.work, "train"), 24, seed=3)
     test_list = make_dataset(os.path.join(opt.work, "test"), 6, seed=99)
+    # m=10 legs: same grating family, clips long enough for K+10+F frames.
+    test_list_m10 = make_dataset(os.path.join(opt.work, "test_m10"), 6, seed=99,
+                                 n_frames=K + 10 + F)
     ckpt_dir = os.path.join(opt.work, "ckpt")
 
     if not opt.skip_train:
@@ -109,33 +120,43 @@ def main():
     if opt.dynamic_int8:
         modes.append(("int8_dynamic", ["--dtype", "bfloat16", "--quantize", "int8_dynamic"]))
 
-    results = {}
-    for mode, extra in modes:
-        qual = os.path.join(opt.work, f"qual_{mode}")
-        quant = os.path.join(opt.work, f"quant_{mode}")
-        print(f"predict [{mode}] on TPU...", flush=True)
-        run([os.path.join(REPO, "cli", "predict.py"),
-             "--K", str(K), "--T", str(T), "--F", str(F), "--c_dim", "1",
-             "--image_size", str(HW), "--batch_size", "6",
-             "--model_key", MODEL_KEY, "--name", "probe",
-             "--checkpoints_dir", ckpt_dir, "--snapshot_file_name", "model_latest.ckpt",
-             "--test_video_list_path", test_list, "--qual_result_root", qual] + extra)
-        run([os.path.join(REPO, "cli", "compute_quant_results.py"), qual, quant,
-             str(K), str(T)])
-        data = np.load(os.path.join(quant, "results.npz"))
-        results[mode] = {"psnr": float(data["psnr"].mean()), "ssim": float(data["ssim"].mean())}
-        print(f"{mode}: PSNR {results[mode]['psnr']:.3f} dB, SSIM {results[mode]['ssim']:.4f}",
-              flush=True)
+    def probe(t_pred: int, tlist: str, tag: str) -> dict:
+        results = {}
+        for mode, extra in modes:
+            qual = os.path.join(opt.work, f"qual_{tag}{mode}")
+            quant = os.path.join(opt.work, f"quant_{tag}{mode}")
+            print(f"predict [{tag}{mode}] T={t_pred} on TPU...", flush=True)
+            run([os.path.join(REPO, "cli", "predict.py"),
+                 "--K", str(K), "--T", str(t_pred), "--F", str(F), "--c_dim", "1",
+                 "--image_size", str(HW), "--batch_size", "6",
+                 "--model_key", MODEL_KEY, "--name", "probe",
+                 "--checkpoints_dir", ckpt_dir, "--snapshot_file_name", "model_latest.ckpt",
+                 "--test_video_list_path", tlist, "--qual_result_root", qual] + extra)
+            run([os.path.join(REPO, "cli", "compute_quant_results.py"), qual, quant,
+                 str(K), str(t_pred)])
+            data = np.load(os.path.join(quant, "results.npz"))
+            results[mode] = {"psnr": float(data["psnr"].mean()),
+                             "ssim": float(data["ssim"].mean())}
+            print(f"{tag}{mode}: PSNR {results[mode]['psnr']:.3f} dB, "
+                  f"SSIM {results[mode]['ssim']:.4f}", flush=True)
+        return results
 
     out = {"config": f"TAI_gray gf=64 ks=51 nb=5 K=T=F=5 {HW}^2, "
-                     f"{opt.iters} TPU train iters on synthetic gratings",
-           "modes": results}
-    for mode in results:
-        if mode != "f32":
-            out[f"{mode}_minus_f32"] = {
-                "psnr": round(results[mode]["psnr"] - results["f32"]["psnr"], 4),
-                "ssim": round(results[mode]["ssim"] - results["f32"]["ssim"], 5),
-            }
+                     f"{opt.iters} TPU train iters on synthetic gratings"}
+    legs = [("modes", T, test_list, "")]
+    if not opt.skip_m10:
+        # The reference's m=10 tables evaluate T=10 prediction from the
+        # m=5-trained checkpoint (BASELINE.md kth m=10 rows) — same here.
+        legs.append(("modes_m10", 10, test_list_m10, "m10_"))
+    for key, t_pred, tlist, tag in legs:
+        results = probe(t_pred, tlist, tag)
+        out[key] = results
+        for mode in results:
+            if mode != "f32":
+                out[f"{tag}{mode}_minus_f32"] = {
+                    "psnr": round(results[mode]["psnr"] - results["f32"]["psnr"], 4),
+                    "ssim": round(results[mode]["ssim"] - results["f32"]["ssim"], 5),
+                }
     with open(os.path.join(REPO, "QUALITY_r04.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
