@@ -79,10 +79,9 @@ def build(batch):
     return fwd, variables, p, f
 
 
-# v5e peaks (per chip): 197 TFLOP/s bf16 MXU, 819 GB/s HBM — the same
-# constants benchmarks/roofline_trace.py uses for the per-op roofline.
-PEAK_TFLOPS = 197.0
-PEAK_GBS = 819.0
+# v5e peaks (per chip) — single source of truth in benchmarks/roofline_trace.py.
+sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+from roofline_trace import PEAK_GBS, PEAK_TFLOPS  # noqa: E402
 
 
 def program_cost(jitted, *args):
@@ -99,7 +98,7 @@ def program_cost(jitted, *args):
         return None, None
 
 
-def measure_fps(batch, iters, warmup=2):
+def measure_fps(batch, iters, warmup=2, with_cost=True):
     import numpy as np
 
     fwd, variables, p, f = build(batch)
@@ -116,7 +115,10 @@ def measure_fps(batch, iters, warmup=2):
         out = fwd(variables, p, f)
     np.asarray(out)
     dt = (time.perf_counter() - t0) / iters
-    tflop, gb = program_cost(fwd, variables, p, f)
+    # with_cost=False skips the AOT lower+compile pass — the CPU-proxy
+    # subprocess has no persistent cache and would pay a second full-size
+    # XLA:CPU compile just to discard the numbers.
+    tflop, gb = program_cost(fwd, variables, p, f) if with_cost else (None, None)
     return batch * T / dt, dt, tflop, gb
 
 
@@ -146,7 +148,7 @@ def cpu_proxy_fps():
     code = (
         "import jax, json; jax.config.update('jax_platforms','cpu');"
         "import sys; sys.path.insert(0, %r);"
-        "from bench import measure_fps; fps, dt = measure_fps(1, 2, warmup=1)[:2];"
+        "from bench import measure_fps; fps, dt = measure_fps(1, 2, warmup=1, with_cost=False)[:2];"
         "print(json.dumps({'cpu_fps': fps, 'sec_per_batch1': dt}))" % REPO
     )
     out = subprocess.run(

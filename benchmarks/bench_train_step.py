@@ -103,13 +103,16 @@ def main():
                "G_ms": round(g_ms, 1), "D_ms": round(d_ms, 1),
                "total_ms": round(g_ms + d_ms, 1), **stats}
         # Auditable roofline position of the G program (VERDICT r3 Weak #6):
-        # fractions of v5e peak 197 TFLOP/s bf16 MXU / 819 GB/s HBM, over the
-        # measured G step time.  Floors — the analysis can't see inside the
-        # Pallas adjoint custom calls.
+        # fractions of the v5e peaks (single source of truth in
+        # benchmarks/roofline_trace.py), over the measured G step time.
+        # Floors — the analysis can't see inside the Pallas adjoint custom
+        # calls.
         if stats.get("flops"):
+            from roofline_trace import PEAK_GBS, PEAK_TFLOPS
+
             g_s = g_ms / 1000.0
-            row["mfu"] = round(stats["flops"] / 1e12 / g_s / 197.0, 4)
-            row["hbm_frac"] = round(stats["bytes accessed"] / 1e9 / g_s / 819.0, 4)
+            row["mfu"] = round(stats["flops"] / 1e12 / g_s / PEAK_TFLOPS, 4)
+            row["hbm_frac"] = round(stats["bytes accessed"] / 1e9 / g_s / PEAK_GBS, 4)
         print(json.dumps(row))
 
 

@@ -166,9 +166,14 @@ def main(argv=None):
     tracing = False
 
     def write_batch(out, targets, clip_labels):
-        """Fetch one dispatched batch (np.asarray blocks on the async jax
-        arrays) and write its PNGs.  Called from the in-flight drain below."""
+        """Fetch one dispatched batch and write its PNGs.  Called from the
+        in-flight drain below."""
         nonlocal n_done
+        # ONE bulk D2H fetch for the whole batch: per-row out[key][b] reads
+        # would each dispatch a device slice + transfer (RPC round-trips over
+        # tunneled links).  The fetch stays deferred until here, so the
+        # in-flight pipeline above is preserved.
+        out = jax.device_get(out)
         if opt.device_normalize:
             # GT writes need the float pipeline's gray/[-1,1] encoding
             targets = host_normalize(targets)
@@ -210,6 +215,11 @@ def main(argv=None):
                 jax.profiler.start_trace(opt.profile_dir)
                 tracing = True
             elif n_batch == opt.profile_steps[1] and tracing:
+                # Drain (and thereby sync) the in-flight batches before
+                # closing the trace — otherwise the traced batches are still
+                # executing and their device events land outside the window.
+                while inflight:
+                    write_batch(*inflight.popleft())
                 jax.profiler.stop_trace()
                 tracing = False
                 print(f"profiler trace written to {opt.profile_dir}")
