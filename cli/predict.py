@@ -52,7 +52,15 @@ def main(argv=None):
     listopt(opt)
     # int8 serving mode (nn/quant.py): the env var is read at module-
     # construction/trace time, so set it before create_model/init below.
+    validate_n = opt.validate_quant if opt.validate_quant is not None else (
+        4 if opt.quantize != "none" else 0)
+    model_fp = None
     if opt.quantize != "none":
+        if validate_n > 0:
+            # Unquantized reference model for the --validate_quant gate.  The
+            # env var is read at TRACE time (nn/layers.py:27), so the gate
+            # below also clears it around the reference forward's first call.
+            model_fp = create_model(opt.model_key)
         os.environ["VFI_INT8"] = {"int8": "2", "int8_dynamic": "1"}[opt.quantize]
 
     if opt.disjoint_clips:
@@ -104,6 +112,7 @@ def main(argv=None):
             # Snapshots store the full training state; we only need g_params.
             state, _ = ckpt.load_snapshot(expr_dir, opt.snapshot_file_name, template)
             g_params = state.g_params
+        g_params_fp = g_params  # pre-cast f32 copy for the --validate_quant gate
         if opt.dtype == "bfloat16":
             import jax.numpy as jnp
 
@@ -154,6 +163,71 @@ def main(argv=None):
 
         out_dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
         to_frames = jax.jit(lambda u8: frames_from_uint8(u8, opt.c_dim, dtype=out_dtype))
+
+    if model_fp is not None and host_model is None and len(ds) > 0:
+        # Self-enforcing per-checkpoint quantization gate (--validate_quant):
+        # run the first clips through BOTH the quantized serving program (at
+        # the serving batch shape, so this compile is reused by the main loop)
+        # and an unquantized f32 reference program, and refuse to serve a
+        # checkpoint whose quantized numerics degrade past --quant_tol_db.
+        import jax.numpy as jnp
+
+        n_val = min(validate_n, len(ds), opt.batch_size)
+        val = np.stack([ds[i]["targets"] for i in range(n_val)])
+        val_f = host_normalize(val) if opt.device_normalize else val
+        vq = val
+        if n_val < opt.batch_size:
+            vq = np.concatenate([vq, np.repeat(vq[-1:], opt.batch_size - n_val, axis=0)])
+        pq, fq = vq[:, :K], (vq[:, K:] if opt.disjoint_clips else vq[:, K + T :])
+        if to_frames is not None:
+            pq, fq = to_frames(pq), to_frames(fq)
+        elif opt.dtype == "bfloat16":
+            pq, fq = jnp.asarray(pq, jnp.bfloat16), jnp.asarray(fq, jnp.bfloat16)
+        pred_q = np.asarray(env.forward_test(g_params, T, pq, fq)["pred"], np.float32)[:n_val]
+
+        env_fp = create_eval_environment(model_fp, TrainConfig(K=K, T=T, F=F))
+        pf = val_f[:, :K]
+        ff = val_f[:, K:] if opt.disjoint_clips else val_f[:, K + T :]
+        # VFI_INT8 is read at trace time — clear it so the reference program
+        # traces with plain (unquantized) convs.
+        _q_flag = os.environ.pop("VFI_INT8", None)
+        try:
+            pred_fp = np.asarray(
+                env_fp.forward_test(g_params_fp, T, pf, ff)["pred"], np.float32)
+        finally:
+            if _q_flag is not None:
+                os.environ["VFI_INT8"] = _q_flag
+
+        from vfi_tpu.ops.metrics import psnr, quantize_uint8, ssim
+
+        q_u8, fp_u8 = quantize_uint8(pred_q), quantize_uint8(pred_fp)
+        agree = float(np.asarray(psnr(q_u8, fp_u8, clamp=100.0)).mean())
+        if opt.disjoint_clips:
+            print(f"validate_quant ({n_val} clips): quantized-vs-f32 prediction "
+                  f"agreement {agree:.2f} dB (no GT middles for metric deltas)")
+            ok = agree >= 30.0
+            detail = f"agreement {agree:.2f} dB < 30 dB"
+        else:
+            gt_u8 = quantize_uint8(jnp.asarray(val_f[:, K : K + T], np.float32))
+            psnr_q = float(np.asarray(psnr(q_u8, gt_u8, clamp=100.0)).mean())
+            psnr_fp = float(np.asarray(psnr(fp_u8, gt_u8, clamp=100.0)).mean())
+            ssim_q = float(np.asarray(ssim(q_u8, gt_u8)).mean())
+            ssim_fp = float(np.asarray(ssim(fp_u8, gt_u8)).mean())
+            print(f"validate_quant ({n_val} clips): PSNR f32 {psnr_fp:.3f} -> "
+                  f"quantized {psnr_q:.3f} dB (delta {psnr_q - psnr_fp:+.3f}); "
+                  f"SSIM {ssim_fp:.4f} -> {ssim_q:.4f} "
+                  f"(delta {ssim_q - ssim_fp:+.4f}); agreement {agree:.2f} dB")
+            ok = psnr_q - psnr_fp >= -opt.quant_tol_db
+            detail = f"PSNR drop {psnr_fp - psnr_q:.3f} dB > tolerance {opt.quant_tol_db} dB"
+        if not ok and not opt.force_quant:
+            sys.exit(f"validate_quant REFUSED this checkpoint for {opt.quantize} "
+                     f"serving: {detail}. Re-run with --force_quant to override, "
+                     f"--quant_tol_db to widen the gate, or --validate_quant 0 "
+                     f"to skip validation.")
+        if not ok:
+            print(f"validate_quant FAILED ({detail}) — proceeding (--force_quant)")
+        del pred_q, pred_fp, env_fp
+
     n_done = 0
     from collections import deque
 

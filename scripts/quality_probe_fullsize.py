@@ -19,13 +19,20 @@ pipeline at the paper's full architecture (TAI_gray gf=64 ks=51 nb=5, K=T=F=5,
   3. computes PSNR/SSIM vs ground truth with the standard eval pipeline and
      prints per-mode scores plus deltas vs f32.
 
-Every TPU process runs serially (one axon client at a time).  Results land in
-QUALITY_r04.json at the repo root.
+Every TPU process runs serially (one axon client at a time).  Results merge
+into --out (default QUALITY_r05.json) under a per-family key; the round-4
+artifact (QUALITY_r04.json, gratings only) is preserved as recorded.
+
+Round 5 (VERDICT r4 Weak #3 / item 7): a second, busier synthetic family —
+``--family textures`` (broadband moving textures with occlusion,
+vfi_tpu/data/synthetic.py) — stresses the int8/bf16 claims beyond the
+band-limited gratings; and ``--skip_train --ckpt_dir ... --ckpt_name ...``
+lets the probe score an already-trained checkpoint (e.g. the 20k-iter soak
+checkpoint from scripts/train_soak.py).
 
 Run: python scripts/quality_probe_fullsize.py [--iters 3000] [--work /tmp/q_full]
-(3000 iters ≈ 8 min of device time at the measured 157 ms/step bf16 recipe;
-the round-4 artifact was first recorded at 400 iters / 31 dB and re-measured
-at 3000 iters for a checkpoint nearer the paper's operating quality.)
+(3000 iters ≈ 8 min of device time at the measured 157 ms/step bf16 recipe,
+fed via --device_cache; the round-4 artifact was recorded at 400 iters.)
 """
 
 import argparse
@@ -37,6 +44,9 @@ import sys
 import numpy as np
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, REPO)
+
+from vfi_tpu.data.synthetic import make_videolist  # noqa: E402
 
 MODEL_KEY = ('{"class": "TAIFillInModel", "args": [], "kwargs": '
              '{"gf_dim": 64, "c_dim": 1, "ks": 51, "num_block": 5, "kf_dim": 32}}')
@@ -45,31 +55,10 @@ K = T = F = 5
 HW = 128
 
 
-def make_dataset(root: str, n_clips: int, seed: int, n_frames: int = 16) -> str:
-    """Moving sinusoid-grating clips at 128² — structured, learnable motion."""
-    rng = np.random.RandomState(seed)
-    os.makedirs(root, exist_ok=True)
-    lines = []
-    yy, xx = np.mgrid[0:HW, 0:HW].astype(np.float32)
-    for i in range(n_clips):
-        vx, vy = rng.uniform(-3, 3, 2)
-        wl = rng.uniform(16, 48)
-        phase = rng.uniform(0, 2 * np.pi)
-        frames = []
-        for t in range(n_frames):
-            img = 127.5 + 70 * np.sin(2 * np.pi * (xx + vx * t) / wl + phase) * np.cos(
-                2 * np.pi * (yy + vy * t) / wl
-            )
-            frames.append(img)
-        vid = np.clip(np.stack(frames), 0, 255).astype(np.uint8)[..., None]
-        vid = np.repeat(vid, 3, axis=-1)
-        path = os.path.join(root, f"clip{i}.npy")
-        np.save(path, vid)
-        lines.append(f"{path} 1-{n_frames}")
-    list_path = os.path.join(root, "list.txt")
-    with open(list_path, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    return list_path
+def make_dataset(root: str, n_clips: int, seed: int, n_frames: int = 16,
+                 family: str = "gratings") -> str:
+    return make_videolist(root, n_clips, seed, n_frames=n_frames, hw=HW,
+                          family=family)
 
 
 def run(args, timeout=7200):
@@ -84,24 +73,38 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=3000)
     ap.add_argument("--work", type=str, default="/tmp/q_full")
+    ap.add_argument("--family", choices=["gratings", "textures"], default="gratings")
+    ap.add_argument("--out", type=str, default="QUALITY_r05.json",
+                    help="artifact filename at the repo root; entries merge "
+                         "under the --family key")
     ap.add_argument("--skip_train", action="store_true",
-                    help="reuse an existing checkpoint in --work")
+                    help="reuse an existing checkpoint (see --ckpt_dir/--ckpt_name)")
+    ap.add_argument("--ckpt_dir", type=str, default=None,
+                    help="checkpoints_dir holding the model (default <work>/ckpt)")
+    ap.add_argument("--ckpt_name", type=str, default="probe",
+                    help="experiment name under --ckpt_dir")
+    ap.add_argument("--snapshot", type=str, default="model_latest.ckpt")
+    ap.add_argument("--device_cache", type=int, default=48,
+                    help="cli/train.py --device_cache batches for the training leg")
     ap.add_argument("--dynamic_int8", action="store_true")
     ap.add_argument("--skip_m10", action="store_true",
                     help="skip the m=10 generalization legs")
     opt = ap.parse_args()
 
-    train_list = make_dataset(os.path.join(opt.work, "train"), 24, seed=3)
-    test_list = make_dataset(os.path.join(opt.work, "test"), 6, seed=99)
-    # m=10 legs: same grating family, clips long enough for K+10+F frames.
-    test_list_m10 = make_dataset(os.path.join(opt.work, "test_m10"), 6, seed=99,
-                                 n_frames=K + 10 + F)
-    ckpt_dir = os.path.join(opt.work, "ckpt")
+    fam = opt.family
+    train_list = make_dataset(os.path.join(opt.work, f"train_{fam}"), 24, seed=3,
+                              family=fam)
+    test_list = make_dataset(os.path.join(opt.work, f"test_{fam}"), 6, seed=99,
+                             family=fam)
+    # m=10 legs: same clip family, clips long enough for K+10+F frames.
+    test_list_m10 = make_dataset(os.path.join(opt.work, f"test_{fam}_m10"), 6,
+                                 seed=99, n_frames=K + 10 + F, family=fam)
+    ckpt_dir = opt.ckpt_dir or os.path.join(opt.work, f"ckpt_{fam}")
 
     if not opt.skip_train:
         print(f"training FULL-SIZE bi-TAI for {opt.iters} iters on TPU "
-              "(bf16, device-normalize)...", flush=True)
-        run([os.path.join(REPO, "cli", "train.py"), "--name", "probe",
+              f"({fam}, bf16, device-normalize)...", flush=True)
+        run([os.path.join(REPO, "cli", "train.py"), "--name", opt.ckpt_name,
              "--model_key", MODEL_KEY,
              "--K", str(K), "--T", str(T), "--F", str(F),
              "--alt_K", "7", "--alt_T", "10", "--alt_F", "7",
@@ -112,6 +115,7 @@ def main():
              "--validate_freq", str(opt.iters + 1),  # skip the val sweep; predict measures
              "--df_dim", "64", "--Ip", "1",
              "--train_dtype", "bfloat16", "--device_normalize",
+             "--device_cache", str(opt.device_cache),
              "--checkpoints_dir", ckpt_dir,
              "--tensorboard_dir", os.path.join(opt.work, "tb")])
 
@@ -123,14 +127,14 @@ def main():
     def probe(t_pred: int, tlist: str, tag: str) -> dict:
         results = {}
         for mode, extra in modes:
-            qual = os.path.join(opt.work, f"qual_{tag}{mode}")
-            quant = os.path.join(opt.work, f"quant_{tag}{mode}")
-            print(f"predict [{tag}{mode}] T={t_pred} on TPU...", flush=True)
+            qual = os.path.join(opt.work, f"qual_{fam}_{tag}{mode}")
+            quant = os.path.join(opt.work, f"quant_{fam}_{tag}{mode}")
+            print(f"predict [{fam}/{tag}{mode}] T={t_pred} on TPU...", flush=True)
             run([os.path.join(REPO, "cli", "predict.py"),
                  "--K", str(K), "--T", str(t_pred), "--F", str(F), "--c_dim", "1",
                  "--image_size", str(HW), "--batch_size", "6",
-                 "--model_key", MODEL_KEY, "--name", "probe",
-                 "--checkpoints_dir", ckpt_dir, "--snapshot_file_name", "model_latest.ckpt",
+                 "--model_key", MODEL_KEY, "--name", opt.ckpt_name,
+                 "--checkpoints_dir", ckpt_dir, "--snapshot_file_name", opt.snapshot,
                  "--test_video_list_path", tlist, "--qual_result_root", qual] + extra)
             run([os.path.join(REPO, "cli", "compute_quant_results.py"), qual, quant,
                  str(K), str(t_pred)])
@@ -141,8 +145,10 @@ def main():
                   f"SSIM {results[mode]['ssim']:.4f}", flush=True)
         return results
 
+    train_note = (f"checkpoint reused from {ckpt_dir}/{opt.ckpt_name}" if opt.skip_train
+                  else f"{opt.iters} TPU train iters")
     out = {"config": f"TAI_gray gf=64 ks=51 nb=5 K=T=F=5 {HW}^2, "
-                     f"{opt.iters} TPU train iters on synthetic gratings"}
+                     f"{train_note} on synthetic {fam}"}
     legs = [("modes", T, test_list, "")]
     if not opt.skip_m10:
         # The reference's m=10 tables evaluate T=10 prediction from the
@@ -157,8 +163,15 @@ def main():
                     "psnr": round(results[mode]["psnr"] - results["f32"]["psnr"], 4),
                     "ssim": round(results[mode]["ssim"] - results["f32"]["ssim"], 5),
                 }
-    with open(os.path.join(REPO, "QUALITY_r04.json"), "w") as fh:
-        json.dump(out, fh, indent=1)
+    # Merge under the family key so the two families' runs share one artifact.
+    out_path = os.path.join(REPO, opt.out)
+    merged = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            merged = json.load(fh)
+    merged[fam] = out
+    with open(out_path, "w") as fh:
+        json.dump(merged, fh, indent=1)
     print(json.dumps(out))
 
 

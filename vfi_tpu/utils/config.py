@@ -130,6 +130,17 @@ def build_train_parser() -> ArgFileParser:
     g.add_argument("--remat", action="store_true",
                    help="Gradient-checkpoint the MC-Net rollout submodules "
                         "(~33%% recompute for O(1) rollout activation memory)")
+    g.add_argument("--device_cache", type=int, default=0, metavar="N",
+                   help="Prefetch N training batches and keep them device-resident, "
+                        "cycling through them in fixed order (data echoing). Removes "
+                        "the per-iteration host->device upload — intended for hosts "
+                        "whose link cannot sustain the step rate (e.g. the dev "
+                        "tunnel) and for soak runs on small synthetic datasets; "
+                        "with a real dataset this trains on only N distinct batches.")
+    g.add_argument("--log_json", type=str, default=None, metavar="PATH",
+                   help="Append machine-readable JSON lines (iteration timing, "
+                        "losses, validation metrics, checkpoint/resume events) to "
+                        "PATH; main process only")
 
     return p
 
@@ -158,6 +169,20 @@ def build_test_parser() -> ArgFileParser:
                         "validate per-checkpoint via compute_quant_results.")
     g.add_argument("--calib_clips", type=int, default=8,
                    help="clips used to calibrate --quantize int8 activation scales")
+    g.add_argument("--validate_quant", type=int, default=None, metavar="N",
+                   help="Score N clips f32-vs-quantized on device before serving "
+                        "and refuse to proceed if the quantized checkpoint degrades "
+                        "beyond --quant_tol_db (default: 4 clips whenever --quantize "
+                        "is active; 0 disables). Costs one extra compile of the "
+                        "unquantized program (cached across runs).")
+    g.add_argument("--quant_tol_db", type=float, default=0.5,
+                   help="Max tolerated PSNR-vs-GT drop (dB) of the quantized path "
+                        "relative to f32 in the --validate_quant check; without GT "
+                        "(disjoint clips) the gate is 30 dB f32-vs-quantized "
+                        "prediction agreement")
+    g.add_argument("--force_quant", action="store_true",
+                   help="Proceed past a failed --validate_quant gate (prints the "
+                        "measured deltas either way)")
     g.add_argument("--device_normalize", action="store_true",
                    help="Ship uint8 batches to the device and normalize there "
                         "(4x less host->device traffic; same flag as train.py)")
