@@ -215,8 +215,8 @@ def main(argv=None):
     else:
         to_frames = None
 
-    def prep_targets(host_targets, sharded=False):
-        dev = host_targets if sharded else shard_batch(mesh, {"targets": host_targets})["targets"]
+    def prep_targets(host_targets):
+        dev = shard_batch(mesh, {"targets": host_targets})["targets"]
         return to_frames(dev) if to_frames is not None else dev
 
     sample = next(train_iter)
@@ -231,11 +231,12 @@ def main(argv=None):
         # Draw from the iterator exactly like the streamed loop does (the
         # init `sample` above is consumed either way), so a cache covering a
         # whole deterministic epoch reproduces the streamed batch sequence.
+        # Normalize ONCE at build time: over high-latency links the loop is
+        # bound by program-launch RPCs, so the per-iter slice+normalize
+        # launches are hoisted here (uint8 crosses the wire; the float
+        # conversion runs on device).
         host_cache = [next(train_iter) for _ in range(opt.device_cache)]
-        dev_cache = [
-            shard_batch(mesh, {"targets": np.asarray(b["targets"])})["targets"]
-            for b in host_cache
-        ]
+        dev_cache = [prep_targets(np.asarray(b["targets"])) for b in host_cache]
         if is_main:
             mb = sum(b.nbytes for b in dev_cache) / 1e6 / max(1, jax.device_count())
             print(f"device cache: {len(dev_cache)} batches resident (~{mb:.0f} MB/device)")
@@ -304,12 +305,15 @@ def main(argv=None):
             cached = None
         K, T, F = env.sample_ktf(rng, opt.sample_KTF)
         if dyn_env is not None:
-            targets = (prep_targets(cached, sharded=True) if cached is not None
-                       else prep_targets(batch["targets"]))
+            targets = cached if cached is not None else prep_targets(batch["targets"])
             state, errors = dyn_env.train_step_dynamic(state, targets, np.asarray([K, T, F]))
         else:
-            targets = (prep_targets(cached[:, : K + T + F], sharded=True) if cached is not None
-                       else prep_targets(batch["targets"][:, : K + T + F]))
+            if cached is not None:
+                # cache entries are already sharded+normalized; skip the slice
+                # launch when the static lengths consume the whole sequence
+                targets = cached if cached.shape[1] == K + T + F else cached[:, : K + T + F]
+            else:
+                targets = prep_targets(batch["targets"][:, : K + T + F])
             state, errors = env.train_step(state, K, T, F, targets)
         total_updates += 1
 
