@@ -89,25 +89,28 @@ def _try_grad_compile(cfg, bwd_flag: str, remat=False, outer_checkpoint=False,
     Returns (status, seconds, detail): status in {"ok", "crash", "error"}.
     """
     tpu = jax.devices()[0]
-    model = _model(cfg, remat=remat)
-    rng = np.random.RandomState(7)
     K, T, F, H, W, B, c = (cfg[k] for k in ("K", "T", "F", "H", "W", "B", "c_dim"))
-    p = rng.uniform(-1, 1, (B, K, H, W, c)).astype(np.float32)
-    f = rng.uniform(-1, 1, (B, F, H, W, c)).astype(np.float32)
-    tgt = rng.uniform(-1, 1, (B, T, H, W, c)).astype(np.float32)
-    params = _params(cfg, model)
-
-    def loss(vv, a, b, t):
-        apply = lambda vv_, a_, b_: model.apply({"params": vv_}, T, a_, b_)["pred"]
-        if outer_checkpoint:
-            apply = jax.checkpoint(apply)
-        pred = apply(vv, a, b)
-        return jnp.mean((pred.astype(jnp.float32) - t) ** 2)
-
     old = os.environ.pop("SEPCONV_PALLAS_BWD", None)
     os.environ["SEPCONV_PALLAS_BWD"] = bwd_flag
     t0 = time.perf_counter()
     try:
+        # everything — incl. model construction and CPU init — inside the
+        # try: an invalid shrink config must record as "error", not kill the
+        # whole sweep
+        model = _model(cfg, remat=remat)
+        rng = np.random.RandomState(7)
+        p = rng.uniform(-1, 1, (B, K, H, W, c)).astype(np.float32)
+        f = rng.uniform(-1, 1, (B, F, H, W, c)).astype(np.float32)
+        tgt = rng.uniform(-1, 1, (B, T, H, W, c)).astype(np.float32)
+        params = _params(cfg, model)
+
+        def loss(vv, a, b, t):
+            apply = lambda vv_, a_, b_: model.apply({"params": vv_}, T, a_, b_)["pred"]
+            if outer_checkpoint:
+                apply = jax.checkpoint(apply)
+            pred = apply(vv, a, b)
+            return jnp.mean((pred.astype(jnp.float32) - t) ** 2)
+
         args = jax.device_put((params, p, f, tgt), tpu)
         lowered = jax.jit(jax.grad(loss)).lower(*args)
         compiled = lowered.compile()
@@ -168,7 +171,8 @@ def main(argv=None):
             ("baseline", BASE),
             ("T1", {**BASE, "T": 1}),
             ("KF2", {**BASE, "K": 2, "F": 2}),
-            ("nb2", {**BASE, "nb": 2}),
+            # nb < 4 is architecturally invalid (kernelnet asserts), so depth
+            # cannot be shrunk independently
             ("gf16", {**BASE, "gf": 16, "kf": 16}),
             ("ks21", {**BASE, "ks": 21}),
             ("H64", {**BASE, "H": 64}),
