@@ -133,6 +133,48 @@ def _try_grad_compile(cfg, bwd_flag: str, remat=False, outer_checkpoint=False,
             os.environ["SEPCONV_PALLAS_BWD"] = old
 
 
+def _time_grad(cfg, bwd_flag: str, dtype_str: str = "f32", remat=False,
+               outer_checkpoint=False, iters=10):
+    """Time the full-model grad program (end-sync methodology, CLAUDE.md):
+    launch all iters, force one leaf at the end."""
+    tpu = jax.devices()[0]
+    K, T, F, H, W, B, c = (cfg[k] for k in ("K", "T", "F", "H", "W", "B", "c_dim"))
+    dtype = jnp.bfloat16 if dtype_str == "bf16" else jnp.float32
+    old = os.environ.pop("SEPCONV_PALLAS_BWD", None)
+    os.environ["SEPCONV_PALLAS_BWD"] = bwd_flag
+    try:
+        model = _model(cfg, remat=remat)
+        rng = np.random.RandomState(7)
+        cast = lambda a: np.asarray(a).astype(dtype)
+        p = cast(rng.uniform(-1, 1, (B, K, H, W, c)))
+        f = cast(rng.uniform(-1, 1, (B, F, H, W, c)))
+        tgt = rng.uniform(-1, 1, (B, T, H, W, c)).astype(np.float32)
+        params = jax.tree.map(cast, _params(cfg, model))
+
+        def loss(vv, a, b, t):
+            apply = lambda vv_, a_, b_: model.apply({"params": vv_}, T, a_, b_)["pred"]
+            if outer_checkpoint:
+                apply = jax.checkpoint(apply)
+            return jnp.mean((apply(vv, a, b).astype(jnp.float32) - t) ** 2)
+
+        gfn = jax.jit(jax.grad(loss))
+        args = jax.device_put((params, p, f, tgt), tpu)
+        g = gfn(*args)
+        np.asarray(jax.tree.leaves(g)[0])  # warm + sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            g = gfn(*args)
+        np.asarray(jax.tree.leaves(g)[0])  # one end sync
+        ms = (time.perf_counter() - t0) / iters * 1000
+        return "ok", ms, f"{ms:.1f} ms/grad (B={B}, {ms / B:.1f} ms/sample)"
+    except Exception as e:  # noqa: BLE001
+        return "error", 0.0, f"{type(e).__name__}: {str(e)[:200]}"
+    finally:
+        os.environ.pop("SEPCONV_PALLAS_BWD", None)
+        if old is not None:
+            os.environ["SEPCONV_PALLAS_BWD"] = old
+
+
 def _load():
     if os.path.exists(JSON_PATH):
         with open(JSON_PATH) as fh:
@@ -218,6 +260,35 @@ def main(argv=None):
                 BASE, kw["bwd"], remat=kw["remat"], outer_checkpoint=kw["outer"],
                 run_after=True)
             record("workaround", label, BASE, status, dt, detail)
+
+    if "timing" in stages:
+        # Grad-program cost of the unlocked wide-f32 paths, against the bf16
+        # recipe and the old B=1 envelope, all measured with one methodology
+        # (grad-only program, end-sync).  Compiles ride the persistent cache.
+        legs = [
+            ("plain_bf16_xla_B2", dict(bwd="0", dtype="bf16")),
+            ("plain_f32_adjoint_B1", dict(bwd="1", dtype="f32", B=1)),
+            ("remat_f32_xla_B2", dict(bwd="0", dtype="f32", remat=True)),
+            ("remat_f32_adjoint_B2", dict(bwd="1", dtype="f32", remat=True)),
+            ("ckpt_f32_xla_B2", dict(bwd="0", dtype="f32", outer=True)),
+            ("remat_bf16_xla_B2", dict(bwd="0", dtype="bf16", remat=True)),
+        ]
+        results.setdefault("timing", {})
+        for label, kw in legs:
+            if label in results["timing"]:
+                print(f"[timing] {label}: cached", flush=True)
+                continue
+            if time.time() > deadline:
+                print("budget exhausted", flush=True)
+                break
+            cfg = {**BASE, "B": kw.get("B", 2)}
+            status, ms, detail = _time_grad(
+                cfg, kw["bwd"], dtype_str=kw.get("dtype", "f32"),
+                remat=kw.get("remat", False), outer_checkpoint=kw.get("outer", False))
+            results["timing"][label] = {"status": status, "ms_per_grad": round(ms, 1),
+                                        "B": cfg["B"], "detail": detail}
+            _save(results)
+            print(f"[timing] {label}: {status} {detail}", flush=True)
 
     n_ok = sum(1 for r in results["workaround"].values() if r["status"] == "ok")
     print(json.dumps({"workarounds_compiling": n_ok,
